@@ -1,0 +1,113 @@
+"""Attention ops: GQA scaled-dot-product with causal/padding masks + RoPE.
+
+Replaces flash-attention-2 CUDA kernels (reference: src/ft_llm.py:224,
+attn_implementation='flash_attention_2'). On TPU the default path lowers to
+XLA's fused attention; a Pallas flash kernel (ops/pallas_attn.py) covers the
+long-prefill case. Layout: q [B, T, H, hd], k/v [B, S, K, hd], H % K == 0.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+# ----------------------------------------------------------------------- RoPE
+
+
+def rope_table(max_len: int, head_dim: int, theta: float = 10000.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute (cos, sin) [max_len, head_dim//2] tables."""
+    inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    ang = jnp.outer(t, inv)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(
+    x: jnp.ndarray,                # [B, T, H, hd]
+    cos: jnp.ndarray,              # [max_len, hd//2]
+    sin: jnp.ndarray,
+    positions: jnp.ndarray,        # [B, T] int32 absolute positions
+) -> jnp.ndarray:
+    c = cos[positions][:, :, None, :]  # [B, T, 1, hd//2]
+    s = sin[positions][:, :, None, :]
+    x1, x2 = jnp.split(x, 2, axis=-1)  # rotate-half convention (Llama)
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(x.dtype)
+
+
+# ----------------------------------------------------------------------- SDPA
+
+
+def _repeat_kv(k: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    if n_rep == 1:
+        return k
+    b, s, kh, d = k.shape
+    return jnp.broadcast_to(k[:, :, :, None, :], (b, s, kh, n_rep, d)).reshape(
+        b, s, kh * n_rep, d
+    )
+
+
+def sdpa(
+    q: jnp.ndarray,                       # [B, T, H, hd]
+    k: jnp.ndarray,                       # [B, S, K, hd]
+    v: jnp.ndarray,                       # [B, S, K, hd]
+    mask: Optional[jnp.ndarray] = None,   # [B, 1|H, T, S] bool (True = attend)
+) -> jnp.ndarray:
+    """Reference XLA path. Computes in f32, returns q.dtype."""
+    h, kh = q.shape[2], k.shape[2]
+    k = _repeat_kv(k, h // kh)
+    v = _repeat_kv(v, h // kh)
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def causal_mask(t: int, s: int, offset: int = 0) -> jnp.ndarray:
+    """[1, 1, T, S] causal mask; query i attends key j iff j <= i + offset
+    (offset = number of cached tokens during incremental decode)."""
+    qi = jnp.arange(t)[:, None] + offset
+    kj = jnp.arange(s)[None, :]
+    return (kj <= qi)[None, None, :, :]
+
+
+def padding_mask(lengths: jnp.ndarray, s: int) -> jnp.ndarray:
+    """[B] lengths -> [B, 1, 1, S] key-padding mask."""
+    return (jnp.arange(s)[None, :] < lengths[:, None])[:, None, None, :]
+
+
+# ----------------------------------------------------------------------- KV cache
+
+
+def init_kv_cache(
+    batch: int, max_len: int, n_layers: int, n_kv_heads: int, head_dim: int,
+    dtype=jnp.bfloat16,
+) -> dict:
+    shape = (n_layers, batch, max_len, n_kv_heads, head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "len": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def cache_update(
+    cache_k: jnp.ndarray,   # [B, S_max, K, hd]  (one layer's slice)
+    cache_v: jnp.ndarray,
+    k_new: jnp.ndarray,     # [B, T, K, hd]
+    v_new: jnp.ndarray,
+    start: jnp.ndarray,     # scalar int32 — write offset (same for all batch rows)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ck = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype), (0, start, 0, 0))
+    cv = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype), (0, start, 0, 0))
+    return ck, cv

@@ -1,0 +1,67 @@
+"""On-device token samplers: greedy, temperature, top-k, top-p (nucleus).
+
+Replaces HF generate's sampling configs used by the reference —
+biography: do_sample T=0.7 top_p=0.9 (milvus/RAG.py:176-184); emotion: greedy
+(RAG.py:219-227); speech-token LM sampling inside CosyVoice. All samplers are
+shape-static and fuse into the lax.scan decode loop (no host round-trips).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0          # 0 = disabled
+    greedy: bool = False
+
+    @classmethod
+    def biography(cls) -> "SamplerConfig":
+        return cls(temperature=0.7, top_p=0.9)
+
+    @classmethod
+    def label(cls) -> "SamplerConfig":
+        return cls(greedy=True)
+
+
+def _apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    vals, _ = jax.lax.top_k(logits, k)
+    thresh = vals[..., -1:]
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def _apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Mask tokens outside the smallest set with cumulative prob >= p.
+    Implemented with a full sort (vocab is static) — stays on device."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while cumulative prob (exclusive) < p; always keep top-1
+    keep_sorted = (cum - probs) < p
+    # threshold = smallest kept logit
+    thresh = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def sample(
+    key: jax.Array, logits: jnp.ndarray, cfg: SamplerConfig
+) -> jnp.ndarray:
+    """logits [..., V] -> token ids [...] (int32)."""
+    if cfg.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.maximum(cfg.temperature, 1e-6)
+    if cfg.top_k and cfg.top_k > 0:
+        logits = _apply_top_k(logits, cfg.top_k)
+    if cfg.top_p < 1.0:
+        logits = _apply_top_p(logits, cfg.top_p)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

@@ -1,0 +1,66 @@
+"""Per-stage wall-time logging + jax.profiler hooks.
+
+The reference had only print/tqdm (SURVEY §5). Here: a Stopwatch that records
+named spans, reports p50/p95, and can wrap spans in jax.profiler traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import statistics
+import time
+from collections import defaultdict
+from typing import Dict, Iterator, List
+
+import jax
+
+
+class Stopwatch:
+    def __init__(self, profile: bool = False):
+        self.spans: Dict[str, List[float]] = defaultdict(list)
+        self.profile = profile
+
+    @contextlib.contextmanager
+    def span(self, name: str) -> Iterator[None]:
+        ctx = (
+            jax.profiler.TraceAnnotation(name)
+            if self.profile
+            else contextlib.nullcontext()
+        )
+        t0 = time.perf_counter()
+        with ctx:
+            yield
+        self.spans[name].append(time.perf_counter() - t0)
+
+    def stats(self) -> Dict[str, Dict[str, float]]:
+        out = {}
+        for name, xs in self.spans.items():
+            xs_sorted = sorted(xs)
+            out[name] = {
+                "n": len(xs),
+                "total_s": sum(xs),
+                "mean_s": statistics.mean(xs),
+                "p50_s": xs_sorted[len(xs) // 2],
+                "p95_s": xs_sorted[min(len(xs) - 1, int(len(xs) * 0.95))],
+            }
+        return out
+
+    def report(self) -> str:
+        lines = []
+        for name, s in sorted(self.stats().items()):
+            lines.append(
+                f"{name:32s} n={s['n']:5d} total={s['total_s']:8.3f}s "
+                f"mean={s['mean_s'] * 1e3:8.2f}ms p50={s['p50_s'] * 1e3:8.2f}ms "
+                f"p95={s['p95_s'] * 1e3:8.2f}ms"
+            )
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str) -> Iterator[None]:
+    """Capture an XLA device trace for offline inspection."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

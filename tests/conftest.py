@@ -1,0 +1,34 @@
+"""Test env: force an 8-device virtual CPU mesh BEFORE jax import so
+multi-chip sharding paths are testable without TPUs (SURVEY §4 implication)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The image's sitecustomize registers an axon TPU backend and pins
+# jax_platforms to "axon,cpu" — re-pin to cpu so tests never ride the tunnel.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from autostyle_tts_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(data=4, model=2)
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg():
+    from autostyle_tts_tpu.utils.config import tiny_config
+
+    return tiny_config()

@@ -1,0 +1,131 @@
+"""Config tree, wav I/O, manifest contracts, checkpoint manager, samplers."""
+
+import json
+
+import numpy as np
+import pytest
+
+from autostyle_tts_tpu.utils import audio_io, config, manifest
+from autostyle_tts_tpu.utils.checkpoint import CheckpointManager
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = config.Config()
+    config.save(cfg, tmp_path / "cfg.json")
+    loaded = config.load(tmp_path / "cfg.json")
+    assert config.to_dict(loaded) == config.to_dict(cfg)
+    assert isinstance(loaded.vocoder.upsample_rates, tuple)
+
+
+def test_config_overrides():
+    cfg = config.Config()
+    config.apply_overrides(
+        cfg,
+        ["train.learning_rate=1e-4", "mesh.data=4", "train.lora.r=16",
+         "vocoder.upsample_rates=8,8,4", "train.remat=false"],
+    )
+    assert cfg.train.learning_rate == 1e-4
+    assert cfg.mesh.data == 4
+    assert cfg.train.lora.r == 16
+    assert cfg.vocoder.upsample_rates == (8, 8, 4)
+    assert cfg.train.remat is False
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 16000
+    x = (0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    audio_io.write_wav(tmp_path / "t.wav", x, sr)
+    y, sr2 = audio_io.read_wav(tmp_path / "t.wav")
+    assert sr2 == sr
+    np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_load_wav_resamples(tmp_path):
+    sr = 22050
+    x = (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    audio_io.write_wav(tmp_path / "t.wav", x, sr)
+    y = audio_io.load_wav(tmp_path / "t.wav", 16000)
+    assert abs(len(y) - 16000) <= 2
+
+
+def test_retrieval_jsonl_contract(tmp_path):
+    """Round-trip the exact JSONL fields produced by milvus/search_json.py and
+    consumed by tts_with_rag.py (SURVEY §1 interfaces)."""
+    rows = [
+        {"zh_text": "你好", "speaker": "w1", "retrieved_file_id": "/p/denoise_1.wav",
+         "retrieved_text": "样式", "distance": 0.87},
+        {"zh_text": "hi", "speaker": "m2", "retrieved_file_id": "/p/denoise_2.wav",
+         "retrieved_text": "style", "distance": 0.84, "whisper": True},
+    ]
+    p = tmp_path / "res.jsonl"
+    manifest.write_jsonl(p, iter(rows))
+    reader = manifest.JsonDataReader(p)
+    assert len(reader) == 2
+    assert reader[0].speaker == "w1" and not reader[0].whisper
+    assert reader[1].whisper
+    with pytest.raises(IndexError):
+        reader[2]  # reference had an off-by-one here (tts_with_rag.py:39)
+    back = [r.to_dict() for r in reader]
+    assert back[0]["distance"] == 0.87
+    assert "whisper" not in back[0] and back[1]["whisper"] is True
+
+
+def test_reference_search_results_parse():
+    """Parse the actual artifact shipped with the reference repo."""
+    import pathlib
+
+    p = pathlib.Path("/root/reference/output_emb/search_results.json")
+    if not p.exists():
+        pytest.skip("reference artifact not present")
+    reader = manifest.JsonDataReader(p)
+    assert len(reader) > 0
+    speakers = {r.speaker for r in reader}
+    assert speakers <= {"w1", "w2", "m1", "m2"}
+    assert all(0.5 < r.distance < 1.0 for r in reader)
+
+
+def test_meta_lst_format(tmp_path):
+    rows = [manifest.meta_lst_row("n1", "st", "/t.wav", "hello")]
+    manifest.write_meta_lst(tmp_path / "meta.lst", rows)
+    text = (tmp_path / "meta.lst").read_text()
+    assert text == "n1|st|/t.wav|hello\n"
+
+
+def test_checkpoint_manager(tmp_path):
+    import jax.numpy as jnp
+
+    tree = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3), "b": jnp.ones(3)}
+    mgr = CheckpointManager(tmp_path, save_total_limit=2)
+    for step in (50, 100, 150):
+        tree = {"w": tree["w"] + 1, "b": tree["b"]}
+        mgr.save(step, tree)
+    assert mgr.latest_step() == 150
+    restored = mgr.restore(tree)
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.asarray(tree["w"]))
+    # limit enforced
+    names = sorted(p.name for p in tmp_path.glob("checkpoint-*"))
+    assert names == ["checkpoint-100", "checkpoint-150"]
+
+
+def test_samplers():
+    import jax
+    import jax.numpy as jnp
+
+    from autostyle_tts_tpu.ops.sampling import SamplerConfig, sample
+
+    logits = jnp.asarray([[0.0, 5.0, -1.0, 2.0]])
+    assert int(sample(jax.random.PRNGKey(0), logits, SamplerConfig.label())[0]) == 1
+    # top_p=0.9 with one dominant logit -> always picks it
+    peaked = jnp.asarray([[0.0, 20.0, 0.0, 0.0]])
+    for s in range(5):
+        tok = sample(jax.random.PRNGKey(s), peaked, SamplerConfig.biography())
+        assert int(tok[0]) == 1
+    # top_k=2 restricts support to the top 2 logits
+    cfg = SamplerConfig(temperature=1.0, top_k=2)
+    seen = {
+        int(sample(jax.random.PRNGKey(s), logits, cfg)[0]) for s in range(50)
+    }
+    assert seen <= {1, 3}
+    # top_p very small -> argmax
+    cfg = SamplerConfig(temperature=1.0, top_p=1e-6)
+    assert int(sample(jax.random.PRNGKey(7), logits, cfg)[0]) == 1
