@@ -1,0 +1,406 @@
+"""Shared decoder-only transformer core (functional, layer-stacked, scanned).
+
+One implementation backs BOTH model stacks the reference glued together
+(SURVEY §7 deliberate divergence "one shared transformer core"):
+- the style-embedder LLM (Llama-3.2-3B / Qwen2.5-7B geometries; reference used
+  HF transformers + PEFT, milvus/RAG.py:68-111), and
+- the ~300M speech-token LM inside the synthesis engine (SURVEY §2.3.1).
+
+TPU-first choices:
+- Params are LAYER-STACKED pytrees ([L, ...] leading dim) consumed by one
+  ``lax.scan`` over layers: one compiled layer body regardless of depth,
+  so a 28-layer 3B model compiles as fast as a 2-layer toy.
+- GQA attention (n_kv_heads <= n_heads) with RoPE; bf16 compute, f32 accum
+  (``preferred_element_type``), f32 logits.
+- KV cache is a single stacked [L, B, S_max, K, hd] buffer, updated in-place
+  under jit via dynamic_update_slice (buffer donation at the call site).
+- Autoregressive decode is a ``lax.scan`` over steps — the entire generate
+  loop is ONE XLA program; no host round-trips per token (the reference paid
+  a Python->CUDA sync every HF generate step).
+- LoRA (r, alpha from TrainConfig; reference protocol src/ft_llm.py:254-261)
+  enters as an optional parallel pytree of stacked (A, B) pairs — base params
+  stay frozen, so optax only ever sees the LoRA leaves during SFT.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import apply_rope, rope_table, sdpa
+from ..ops.sampling import SamplerConfig, sample
+from ..utils.config import TransformerConfig
+
+Params = Dict[str, Any]
+
+
+# =============================================================================== init
+
+
+def _dense_init(key, fan_in: int, shape) -> jnp.ndarray:
+    std = 1.0 / math.sqrt(fan_in)
+    return jax.random.truncated_normal(key, -3, 3, shape, jnp.float32) * std
+
+
+def init_params(key: jax.Array, cfg: TransformerConfig) -> Params:
+    """Layer-stacked param pytree. Names drive the TP sharding rules
+    (parallel/sharding.py): wq/wk/wv/w_gate/w_up column-, wo/w_down row-parallel."""
+    keys = jax.random.split(key, 12)
+    L, D, F = cfg.n_layers, cfg.dim, cfg.ffn_dim
+    H, K, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    p: Params = {
+        "tok_emb": _dense_init(keys[0], D, (cfg.vocab_size, D)),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), jnp.float32),
+            "wq": _dense_init(keys[1], D, (L, D, H * hd)),
+            "wk": _dense_init(keys[2], D, (L, D, K * hd)),
+            "wv": _dense_init(keys[3], D, (L, D, K * hd)),
+            "wo": _dense_init(keys[4], H * hd, (L, H * hd, D)),
+            "mlp_norm": jnp.ones((L, D), jnp.float32),
+            "w_gate": _dense_init(keys[5], D, (L, D, F)),
+            "w_up": _dense_init(keys[6], D, (L, D, F)),
+            "w_down": _dense_init(keys[7], F, (L, F, D)),
+        },
+        "final_norm": jnp.ones((D,), jnp.float32),
+    }
+    if not cfg.tie_embeddings:
+        p["lm_head"] = _dense_init(keys[8], D, (D, cfg.vocab_size))
+    return p
+
+
+def init_lora(key: jax.Array, cfg: TransformerConfig, r: int) -> Params:
+    """Stacked LoRA (A, B) for every projection ('all-linear' per the
+    reference protocol, src/ft_llm.py:254-261). B starts at zero so the
+    adapted model initially equals the base model."""
+    keys = jax.random.split(key, 7)
+    L, D, F = cfg.n_layers, cfg.dim, cfg.ffn_dim
+    H, K, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    def ab(k, fan_in, out):
+        return (
+            _dense_init(k, fan_in, (L, fan_in, r)),
+            jnp.zeros((L, r, out), jnp.float32),
+        )
+
+    names_shapes = {
+        "wq": (D, H * hd), "wk": (D, K * hd), "wv": (D, K * hd),
+        "wo": (H * hd, D), "w_gate": (D, F), "w_up": (D, F), "w_down": (F, D),
+    }
+    lora: Params = {"layers": {}}
+    for i, (name, (fi, fo)) in enumerate(names_shapes.items()):
+        a, b = ab(keys[i], fi, fo)
+        lora["layers"][name + "_lora_a"] = a
+        lora["layers"][name + "_lora_b"] = b
+    return lora
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# =============================================================================== building blocks
+
+
+def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    nrm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (nrm * w).astype(x.dtype)
+
+
+def _proj(x, w, lora_a=None, lora_b=None, scale: float = 0.0):
+    y = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if lora_a is not None:
+        ax = jnp.matmul(x, lora_a.astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y + scale * jnp.matmul(
+            ax.astype(x.dtype), lora_b.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    return y.astype(x.dtype)
+
+
+class LayerState(NamedTuple):
+    """Per-layer KV cache slice inside the scan."""
+
+    k: jnp.ndarray  # [B, S_max, K, hd]
+    v: jnp.ndarray
+
+
+def _layer(
+    h: jnp.ndarray,                 # [B, T, D]
+    lp: Params,                     # this layer's (unstacked) params
+    lora: Optional[Params],
+    lora_scale: float,
+    cfg: TransformerConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    positions: jnp.ndarray,         # [B, T]
+    mask: jnp.ndarray,              # [B, 1, T, S]
+    cache: Optional[LayerState],
+    cache_start: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Optional[LayerState]]:
+    B, T, D = h.shape
+    H, K, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    def g(name):
+        if lora is None:
+            return (None, None)
+        return (lora[name + "_lora_a"], lora[name + "_lora_b"])
+
+    x = rmsnorm(h, lp["attn_norm"], cfg.norm_eps)
+    q = _proj(x, lp["wq"], *g("wq"), lora_scale).reshape(B, T, H, hd)
+    k = _proj(x, lp["wk"], *g("wk"), lora_scale).reshape(B, T, K, hd)
+    v = _proj(x, lp["wv"], *g("wv"), lora_scale).reshape(B, T, K, hd)
+    q = apply_rope(q, cos, sin, positions)
+    k = apply_rope(k, cos, sin, positions)
+
+    new_cache = None
+    if cache is not None:
+        ck = jax.lax.dynamic_update_slice(
+            cache.k, k.astype(cache.k.dtype), (0, cache_start, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache.v, v.astype(cache.v.dtype), (0, cache_start, 0, 0)
+        )
+        new_cache = LayerState(ck, cv)
+        k_att, v_att = ck, cv
+    else:
+        k_att, v_att = k, v
+
+    attn = sdpa(q, k_att, v_att, mask).reshape(B, T, H * hd)
+    h = h + _proj(attn, lp["wo"], *g("wo"), lora_scale)
+
+    x = rmsnorm(h, lp["mlp_norm"], cfg.norm_eps)
+    gate = _proj(x, lp["w_gate"], *g("w_gate"), lora_scale)
+    up = _proj(x, lp["w_up"], *g("w_up"), lora_scale)
+    h = h + _proj(jax.nn.silu(gate) * up, lp["w_down"], *g("w_down"), lora_scale)
+    return h, new_cache
+
+
+# =============================================================================== forward
+
+
+class ForwardResult(NamedTuple):
+    logits: Optional[jnp.ndarray]     # [B, T, V] f32 (None if skip_logits)
+    hidden: jnp.ndarray               # [B, T, D] final-norm hidden states
+    cache: Optional[Dict[str, jnp.ndarray]]
+
+
+def make_cache(
+    cfg: TransformerConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> Dict[str, jnp.ndarray]:
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def forward(
+    params: Params,
+    cfg: TransformerConfig,
+    tokens: Optional[jnp.ndarray] = None,    # [B, T] int32
+    *,
+    inputs_embeds: Optional[jnp.ndarray] = None,  # [B, T, D] (instead of tokens)
+    positions: Optional[jnp.ndarray] = None,      # [B, T]
+    mask: Optional[jnp.ndarray] = None,           # [B, 1, T, S] True=attend
+    cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cache_start: Optional[jnp.ndarray] = None,    # scalar int32 write offset
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    remat: bool = False,
+    skip_logits: bool = False,
+) -> ForwardResult:
+    """Full-sequence (prefill/training) or incremental (decode) forward.
+
+    With `cache`: keys/values are written at [cache_start, cache_start+T) and
+    attention runs against the whole cache buffer — `mask` must cover S_max.
+    Without: self-attention over the T provided tokens only.
+    """
+    compute_dtype = jnp.dtype(cfg.dtype)
+    if inputs_embeds is None:
+        h = params["tok_emb"][tokens].astype(compute_dtype)
+    else:
+        h = inputs_embeds.astype(compute_dtype)
+    B, T = h.shape[:2]
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    if mask is None:
+        from ..ops.attention import causal_mask
+
+        mask = jnp.broadcast_to(causal_mask(T, T), (B, 1, T, T))
+
+    cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta)
+
+    stacked = params["layers"]
+    lora_stacked = lora["layers"] if lora is not None else None
+
+    def body(h, xs):
+        lp, lo, lc = xs
+        layer_cache = LayerState(lc["k"], lc["v"]) if lc is not None else None
+        fn = _layer
+        if remat:
+            fn = jax.checkpoint(_layer, static_argnums=(4,))
+        h, new_cache = fn(
+            h, lp, lo, lora_scale, cfg, cos, sin, positions, mask,
+            layer_cache, cache_start,
+        )
+        out_cache = (
+            {"k": new_cache.k, "v": new_cache.v} if new_cache is not None else None
+        )
+        return h, out_cache
+
+    xs = (
+        stacked,
+        lora_stacked,
+        cache,
+    )
+    # lax.scan needs every xs leaf to have the same leading dim; lora/cache may
+    # be None — wrap in a custom scan over index instead when absent.
+    if lora_stacked is None and cache is None:
+        h, _ = jax.lax.scan(lambda c, lp: body(c, (lp, None, None)), h, stacked)
+        new_cache = None
+    elif cache is None:
+        h, _ = jax.lax.scan(
+            lambda c, xs_: body(c, (xs_[0], xs_[1], None)), h, (stacked, lora_stacked)
+        )
+        new_cache = None
+    elif lora_stacked is None:
+        h, new_cache = jax.lax.scan(
+            lambda c, xs_: body(c, (xs_[0], None, xs_[1])), h, (stacked, cache)
+        )
+    else:
+        h, new_cache = jax.lax.scan(body, h, xs)
+
+    h = rmsnorm(h, params["final_norm"], cfg.norm_eps)
+    logits = None
+    if not skip_logits:
+        w_out = params["lm_head"] if "lm_head" in params else params["tok_emb"].T
+        logits = jnp.matmul(
+            h.astype(compute_dtype), w_out.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    return ForwardResult(logits=logits, hidden=h, cache=new_cache)
+
+
+# =============================================================================== embeddings
+
+
+def mean_pool_hidden(hidden: jnp.ndarray, attn_mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean-pool final hidden states over real tokens -> [B, D] f32.
+    Reference semantics: last_hidden_state * mask, sum / count
+    (milvus/RAG.py:139-140)."""
+    m = attn_mask[..., None].astype(jnp.float32)
+    s = jnp.sum(hidden.astype(jnp.float32) * m, axis=1)
+    return s / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+
+
+def embed_text(
+    params: Params, cfg: TransformerConfig, tokens: jnp.ndarray,
+    attn_mask: jnp.ndarray, lora: Optional[Params] = None, lora_scale: float = 0.0,
+) -> jnp.ndarray:
+    """[B, T] padded tokens -> [B, D] mean-pooled embedding (no logits)."""
+    B, T = tokens.shape
+    from ..ops.attention import causal_mask
+
+    mask = causal_mask(T, T) & attn_mask[:, None, None, :].astype(bool)
+    out = forward(
+        params, cfg, tokens, mask=mask, lora=lora, lora_scale=lora_scale,
+        skip_logits=True,
+    )
+    return mean_pool_hidden(out.hidden, attn_mask)
+
+
+# =============================================================================== generate
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray       # [B, max_new] int32 (pad_id after EOS)
+    lengths: jnp.ndarray      # [B] number of real tokens generated (excl. EOS)
+    cache: Dict[str, jnp.ndarray]
+
+
+def left_pad(seqs, pad_id: int, width: Optional[int] = None):
+    """Host helper: list of 1-D int arrays -> ([B, P] left-padded int32,
+    [B] lengths). Left padding keeps every row flush against the decode
+    slots so prefill+decode share one cache layout."""
+    import numpy as np
+
+    lens = [len(s) for s in seqs]
+    P = width or max(lens)
+    out = np.full((len(seqs), P), pad_id, np.int32)
+    for i, s in enumerate(seqs):
+        out[i, P - len(s):] = np.asarray(s, np.int32)
+    return out, np.asarray(lens, np.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "sampler", "eos_id", "pad_id"),
+    donate_argnames=("cache",),
+)
+def generate(
+    params: Params,
+    cfg: TransformerConfig,
+    prompt: jnp.ndarray,          # [B, P] LEFT-padded prompts (see left_pad)
+    prompt_len: jnp.ndarray,      # [B] real lengths
+    cache: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    *,
+    max_new_tokens: int,
+    sampler: SamplerConfig,
+    eos_id: int,
+    pad_id: int = 0,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+) -> GenerateResult:
+    """Prefill + scan-decode in ONE jitted program.
+
+    Replaces HF model.generate (reference biography/emotion calls,
+    milvus/RAG.py:176-184, :219-227) and the CosyVoice token-LM inner loop.
+    Left-padded batch: row b's prompt occupies slots [P-len_b, P), decode step
+    i writes slot P+i for every row, RoPE position of slot s is
+    s - (P - len_b). Per-row EOS -> pad_id. Static shapes throughout;
+    recompiles only per (P, max_new_tokens) bucket.
+    """
+    B, P = prompt.shape
+    S_max = cache["k"].shape[2]
+    slot = jnp.arange(S_max, dtype=jnp.int32)
+    offset = (P - prompt_len).astype(jnp.int32)          # [B] left-pad amount
+
+    # ---- prefill
+    from ..ops.attention import causal_mask
+
+    pos = jnp.maximum(jnp.arange(P, dtype=jnp.int32)[None, :] - offset[:, None], 0)
+    valid = slot[None, :] >= offset[:, None]             # [B, S_max] non-pad slots
+    pmask = causal_mask(P, S_max) & valid[:, None, None, :]
+    out = forward(
+        params, cfg, prompt, positions=pos, mask=pmask, cache=cache,
+        cache_start=jnp.int32(0), lora=lora, lora_scale=lora_scale,
+    )
+    next_logits = out.logits[:, -1]                      # all rows end at slot P-1
+
+    def step(carry, i):
+        cache, cur_logits, gen_len, done, key = carry
+        key, sub = jax.random.split(key)
+        tok = sample(sub, cur_logits, sampler)           # [B]
+        tok = jnp.where(done, pad_id, tok)
+        is_eos = tok == eos_id
+        gen_len = gen_len + (~done & ~is_eos)
+        done = done | is_eos
+        positions = (P + i - offset)[:, None]            # true per-row position
+        smask = (valid & (slot[None, :] <= P + i))[:, None, None, :]
+        out = forward(
+            params, cfg, tok[:, None], positions=positions, mask=smask,
+            cache=cache, cache_start=P + i, lora=lora, lora_scale=lora_scale,
+        )
+        return (out.cache, out.logits[:, 0], gen_len, done, key), tok
+
+    zeros = jnp.zeros((B,), jnp.int32)
+    (cache, _, gen_len, done, _), toks = jax.lax.scan(
+        step,
+        (out.cache, next_logits, zeros, jnp.zeros((B,), bool), key),
+        jnp.arange(max_new_tokens),
+    )
+    return GenerateResult(tokens=toks.T, lengths=gen_len, cache=cache)

@@ -28,6 +28,14 @@ _COL = re.compile(r"(wq|wk|wv|w_gate|w_up)$")
 _ROW = re.compile(r"(wo|w_down)$")
 
 
+def _axis_spec(ndim: int, shard_axis: int) -> P:
+    """PartitionSpec sharding `shard_axis` (negative = from the end) on MODEL.
+    Handles layer-stacked params ([L, ...] leading dim stays replicated)."""
+    spec = [None] * ndim
+    spec[shard_axis % ndim] = MODEL_AXIS
+    return P(*spec)
+
+
 def spec_for_path(path: str, ndim: int) -> P:
     leaf = path.rsplit("/", 1)[-1]
     base = leaf
@@ -37,28 +45,18 @@ def spec_for_path(path: str, ndim: int) -> P:
     if ndim < 2:
         return P()
     if _COL.search(base):
-        if lora == "a":  # [D, r] — r too small to shard
+        if lora == "a":  # [..., D, r] — r too small to shard
             return P()
-        return P(None, MODEL_AXIS)  # base [D, F] or lora_b... see below
+        return _axis_spec(ndim, -1)  # base [..., D, F] / lora_b [..., r, F]
     if _ROW.search(base):
-        if lora == "a":  # [F, r]: input dim is sharded on model
-            return P(MODEL_AXIS, None)
-        if lora == "b":
+        if lora == "b":  # [..., r, D]
             return P()
-        return P(MODEL_AXIS, None)
+        return _axis_spec(ndim, -2)  # base [..., F, D] / lora_a [..., F, r]
     if base in ("tok_emb", "text_emb", "speech_emb"):
-        return P(MODEL_AXIS, None)  # vocab-sharded; gather via one-hot matmul
+        return _axis_spec(ndim, -2)  # vocab-sharded
     if base in ("lm_head", "speech_head"):
-        return P(None, MODEL_AXIS)
+        return _axis_spec(ndim, -1)
     return P()
-
-
-def _fix_lora_col_b(path: str, ndim: int, spec: P) -> P:
-    # column-parallel lora_b is [r, F]: shard F (dim 1 on model)
-    leaf = path.rsplit("/", 1)[-1]
-    if leaf.endswith("_lora_b") and _COL.search(leaf[:-7]):
-        return P(None, MODEL_AXIS)
-    return spec
 
 
 def _path_str(p: Any) -> str:
@@ -76,10 +74,16 @@ def _path_str(p: Any) -> str:
 def param_shardings(mesh: Mesh, params: Any) -> Any:
     """Pytree of NamedShardings matching `params`."""
 
+    model_size = mesh.shape.get(MODEL_AXIS, 1)
+
     def one(path, leaf):
         ps = _path_str(path)
         spec = spec_for_path(ps, getattr(leaf, "ndim", 0))
-        spec = _fix_lora_col_b(ps, getattr(leaf, "ndim", 0), spec)
+        # fall back to replication when a dim doesn't divide the model axis
+        for dim, axis in enumerate(spec):
+            if axis == MODEL_AXIS and leaf.shape[dim] % model_size:
+                spec = P()
+                break
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, params)

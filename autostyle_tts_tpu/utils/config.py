@@ -17,7 +17,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 # ----------------------------------------------------------------------------- audio
 
 
-@dataclass
+@dataclass(frozen=True)
 class AudioConfig:
     """DSP contract shared by every stage.
 
@@ -45,7 +45,7 @@ class AudioConfig:
 # ----------------------------------------------------------------------------- models
 
 
-@dataclass
+@dataclass(frozen=True)
 class TransformerConfig:
     """Shared decoder-core hyperparameters (used by embedder LLM + token LM)."""
 
@@ -84,7 +84,7 @@ def qwen25_7b_config() -> TransformerConfig:
     )
 
 
-@dataclass
+@dataclass(frozen=True)
 class TokenLMConfig:
     """Speech-token LM (~300M class, CosyVoice-300M LM equivalent)."""
 
@@ -118,7 +118,7 @@ class TokenLMConfig:
         return self.speech_vocab_size - 1
 
 
-@dataclass
+@dataclass(frozen=True)
 class CFMConfig:
     """Conditional flow-matching mel decoder (Matcha-TTS OT-CFM equivalent;
     reference pipeline stage documented in SURVEY §2.3.1)."""
@@ -136,7 +136,7 @@ class CFMConfig:
     upsample: int = 2                 # 25 Hz tokens -> 50 Hz mel frames
 
 
-@dataclass
+@dataclass(frozen=True)
 class VocoderConfig:
     """HiFi-GAN-class 24 kHz vocoder (HiFT-equivalent stage)."""
 
@@ -148,7 +148,7 @@ class VocoderConfig:
     resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
 
 
-@dataclass
+@dataclass(frozen=True)
 class SpeakerEncoderConfig:
     """CAM++-class timbre encoder -> 192-d x-vector (replaces campplus.onnx)."""
 
@@ -158,7 +158,7 @@ class SpeakerEncoderConfig:
     n_blocks: int = 3
 
 
-@dataclass
+@dataclass(frozen=True)
 class SpeechTokenizerConfig:
     """Conformer encoder + VQ: 16 kHz wav -> 25 Hz discrete tokens
     (replaces the ONNX speech tokenizer)."""
@@ -176,7 +176,7 @@ class SpeechTokenizerConfig:
 # ----------------------------------------------------------------------------- retrieval
 
 
-@dataclass
+@dataclass(frozen=True)
 class RetrievalConfig:
     """In-HBM cosine top-k store (replaces Milvus Lite; exact search —
     deliberate divergence from IVF_FLAT nlist=128, SURVEY §7)."""
@@ -190,7 +190,7 @@ class RetrievalConfig:
 # ----------------------------------------------------------------------------- train
 
 
-@dataclass
+@dataclass(frozen=True)
 class LoRAConfig:
     """Reference protocol: r=32, alpha=128, all-linear (src/ft_llm.py:254-261)."""
 
@@ -200,7 +200,7 @@ class LoRAConfig:
     target: str = "all-linear"
 
 
-@dataclass
+@dataclass(frozen=True)
 class TrainConfig:
     """Reference protocol: bs 4, grad-accum 4, lr 3e-4 linear, 3 epochs,
     eval/save every 50 steps, best-by weighted-F1, NEFTune alpha=5
@@ -224,7 +224,7 @@ class TrainConfig:
 # ----------------------------------------------------------------------------- mesh
 
 
-@dataclass
+@dataclass(frozen=True)
 class MeshConfig:
     """Logical device mesh. data axis shards the batch; model axis shards
     attention heads / MLP (GSPMD tensor parallel)."""
@@ -275,8 +275,7 @@ def tiny_config() -> Config:
     cfg.speech_tokenizer = SpeechTokenizerConfig(
         n_mels=16, dim=32, n_layers=2, n_heads=4, ffn_dim=64, codebook_size=64,
     )
-    cfg.cfm.spk_dim = 16
-    cfg.token_lm.spk_dim = 16
+    cfg.token_lm = dataclasses.replace(cfg.token_lm, spk_dim=16)
     cfg.retrieval = RetrievalConfig(dim=32, capacity=128)
     cfg.audio = AudioConfig(
         sample_rate=2400, prompt_sample_rate=1600,
@@ -310,18 +309,19 @@ def _from_dict(cls: Any, d: Any) -> Any:
     if not (dataclasses.is_dataclass(cls) and isinstance(d, dict)):
         return d
     obj = cls()
+    updates = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         cur = getattr(obj, f.name)
         v = d[f.name]
         if dataclasses.is_dataclass(cur):
-            setattr(obj, f.name, _from_dict(type(cur), v))
+            updates[f.name] = _from_dict(type(cur), v)
         elif isinstance(cur, tuple):
-            setattr(obj, f.name, _deep_tuple(v))
+            updates[f.name] = _deep_tuple(v)
         else:
-            setattr(obj, f.name, v)
-    return obj
+            updates[f.name] = v
+    return dataclasses.replace(obj, **updates)
 
 
 def from_dict(d: dict) -> Config:
@@ -345,12 +345,12 @@ def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
         if "=" not in ov:
             raise ValueError(f"override must be key=value, got {ov!r}")
         key, raw = ov.split("=", 1)
-        obj = cfg
         parts = key.strip().lstrip("-").split(".")
+        chain = [cfg]
         for p in parts[:-1]:
-            obj = getattr(obj, p)
+            chain.append(getattr(chain[-1], p))
         leaf = parts[-1]
-        cur = getattr(obj, leaf)
+        cur = getattr(chain[-1], leaf)
         if isinstance(cur, bool):
             val: Any = raw.lower() in ("1", "true", "yes")
         elif isinstance(cur, int):
@@ -361,5 +361,11 @@ def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
             val = tuple(type(cur[0])(x) for x in raw.split(",")) if cur else tuple(raw.split(","))
         else:
             val = raw
-        setattr(obj, leaf, val)
+        # leaf configs are frozen (hashable for jit static args): rebuild the
+        # chain bottom-up with dataclasses.replace; the root Config is mutable.
+        for obj, name in zip(reversed(chain), reversed(parts)):
+            if dataclasses.is_dataclass(obj) and not obj.__dataclass_params__.frozen:
+                setattr(obj, name, val)
+                break
+            val = dataclasses.replace(obj, **{name: val})
     return cfg
