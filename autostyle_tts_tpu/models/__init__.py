@@ -1,1 +1,9 @@
-from . import transformer  # noqa: F401
+from . import (  # noqa: F401
+    cfm,
+    frontend,
+    speaker,
+    speech_tokenizer,
+    token_lm,
+    transformer,
+    vocoder,
+)

@@ -1,0 +1,236 @@
+"""Speech-token LM: (text, style prompt, timbre) -> discrete speech tokens.
+
+Replaces the ~300M autoregressive token LM inside the reference's synthesis
+engine (SURVEY §2.3.1 "Token LM" row: text+prompt tokens -> speech tokens,
+CUDA). Built on the shared transformer core (models/transformer.py): mixed
+input embeddings, one prefix layout serving every inference mode the
+reference exposed (zero_shot / vc / tts_with_st, SURVEY §2.3.1 API surface):
+
+    [SPK] [text: prompt_text ++ tts_text] [BOS_s] [style speech tokens] | gen...
+
+- SPK: timbre embedding projected to model dim (one soft token).
+- text tokens: frontend byte tokens (style transcript then target text).
+- style speech tokens: the prosody prompt — continuation imitates its style.
+  In zero-shot mode these come from the (single) prompt wav; in the
+  tts_with_st mode style tokens come from the STYLE wav while SPK/mel come
+  from the TIMBRE wav (the paper's custom split, SURVEY §7 hard part 2).
+
+Decoding runs as the core's single-program scan (prefill embeds + step loop).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import causal_mask
+from ..ops.sampling import SamplerConfig, sample
+from ..utils.config import TokenLMConfig, TransformerConfig
+from . import transformer as core
+
+Params = Dict
+
+
+def core_config(cfg: TokenLMConfig) -> TransformerConfig:
+    """The decoder trunk reuses the shared core; vocab here is the TEXT vocab
+    (speech embedding/head are separate tables below)."""
+    return TransformerConfig(
+        vocab_size=cfg.text_vocab_size,
+        dim=cfg.dim,
+        n_layers=cfg.n_layers,
+        n_heads=cfg.n_heads,
+        n_kv_heads=cfg.n_kv_heads,
+        ffn_dim=cfg.ffn_dim,
+        max_seq_len=cfg.max_seq_len,
+        rope_theta=cfg.rope_theta,
+        norm_eps=cfg.norm_eps,
+        dtype="bfloat16",
+    )
+
+
+def init_params(key: jax.Array, cfg: TokenLMConfig) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    D = cfg.dim
+    p = core.init_params(k1, core_config(cfg))
+    p["speech_emb"] = jax.random.normal(k2, (cfg.speech_vocab_size, D)) * D**-0.5
+    p["speech_head"] = jax.random.normal(k3, (D, cfg.speech_vocab_size)) * D**-0.5
+    p["spk_proj"] = jax.random.normal(k4, (cfg.spk_dim, D)) * cfg.spk_dim**-0.5
+    return p
+
+
+# ----------------------------------------------------------------------- prefix building
+
+
+class Prefix(NamedTuple):
+    embeds: jnp.ndarray     # [B, P, D] LEFT-padded prefix embeddings
+    length: jnp.ndarray     # [B] real lengths
+
+
+def build_prefix(
+    params: Params,
+    cfg: TokenLMConfig,
+    text: jnp.ndarray,          # [B, T_txt] right-padded text ids
+    text_len: jnp.ndarray,      # [B]
+    style_tokens: jnp.ndarray,  # [B, T_sty] right-padded speech tokens
+    style_len: jnp.ndarray,     # [B]
+    spk: jnp.ndarray,           # [B, spk_dim]
+) -> Prefix:
+    """Assemble [SPK][text][BOS_s][style tokens] LEFT-padded, fully on device
+    (no per-row host concat): each part is placed by index arithmetic."""
+    B, T_txt = text.shape
+    T_sty = style_tokens.shape[1]
+    D = cfg.dim
+    P = 1 + T_txt + 1 + T_sty
+    total = 2 + text_len + style_len                       # [B]
+    pad = P - total                                        # left-pad per row
+
+    pos = jnp.arange(P)[None, :]                           # [1, P] slot index
+    r = pos - pad[:, None]                                 # rank within real prefix
+    # segment ids: 0 pad | 1 spk | 2 text | 3 bos | 4 style
+    in_text = (r >= 1) & (r <= text_len[:, None])
+    is_spk = r == 0
+    is_bos = r == (text_len + 1)[:, None]
+    in_style = (r >= (text_len + 2)[:, None]) & (r < total[:, None])
+
+    text_idx = jnp.clip(r - 1, 0, T_txt - 1)
+    style_idx = jnp.clip(r - (text_len + 2)[:, None], 0, T_sty - 1)
+
+    text_e = jnp.take_along_axis(
+        params["tok_emb"][text], jnp.broadcast_to(text_idx[..., None], (B, P, D)),
+        axis=1,
+    )
+    style_ids = jnp.take_along_axis(style_tokens, style_idx, axis=1)
+    style_e = params["speech_emb"][style_ids]
+    spk_e = (spk @ params["spk_proj"])[:, None, :]
+    bos_e = params["speech_emb"][cfg.speech_bos][None, None, :]
+
+    emb = jnp.zeros((B, P, D), text_e.dtype)
+    emb = jnp.where(is_spk[..., None], spk_e, emb)
+    emb = jnp.where(in_text[..., None], text_e, emb)
+    emb = jnp.where(is_bos[..., None], bos_e, emb)
+    emb = jnp.where(in_style[..., None], style_e, emb)
+    return Prefix(embeds=emb, length=total)
+
+
+# ----------------------------------------------------------------------- generate
+
+
+class SpeechGen(NamedTuple):
+    tokens: jnp.ndarray     # [B, max_new] int32 (pad after EOS)
+    lengths: jnp.ndarray    # [B]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "sampler", "min_tokens"),
+    donate_argnames=("cache",),
+)
+def generate_speech(
+    params: Params,
+    cfg: TokenLMConfig,
+    prefix: Prefix,
+    cache: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    *,
+    max_new_tokens: int,
+    sampler: SamplerConfig = SamplerConfig(temperature=1.0, top_k=25),
+    min_tokens: int = 2,
+) -> SpeechGen:
+    """Single-program prefill + scan decode over speech tokens with EOS and
+    a min-length floor (EOS logit suppressed before min_tokens)."""
+    ccfg = core_config(cfg)
+    B, P, D = prefix.embeds.shape
+    S_max = cache["k"].shape[2]
+    slot = jnp.arange(S_max, dtype=jnp.int32)
+    offset = (P - prefix.length).astype(jnp.int32)
+
+    pos = jnp.maximum(jnp.arange(P, dtype=jnp.int32)[None, :] - offset[:, None], 0)
+    valid = slot[None, :] >= offset[:, None]
+    pmask = causal_mask(P, S_max) & valid[:, None, None, :]
+    out = core.forward(
+        params, ccfg, inputs_embeds=prefix.embeds, positions=pos, mask=pmask,
+        cache=cache, cache_start=jnp.int32(0), skip_logits=True,
+    )
+    head = params["speech_head"]
+    next_logits = (out.hidden[:, -1].astype(jnp.float32) @ head.astype(jnp.float32))
+
+    eos, padt = cfg.speech_eos, cfg.speech_pad
+
+    def step(carry, i):
+        cache, cur_logits, gen_len, done, key = carry
+        key, sub = jax.random.split(key)
+        logits = cur_logits.at[:, padt].set(-1e30).at[:, cfg.speech_bos].set(-1e30)
+        logits = jnp.where(
+            (i < min_tokens) & (jnp.arange(logits.shape[-1]) == eos)[None, :],
+            -1e30, logits,
+        )
+        tok = sample(sub, logits, sampler)
+        tok = jnp.where(done, padt, tok)
+        is_eos = tok == eos
+        gen_len = gen_len + (~done & ~is_eos)
+        done = done | is_eos
+        emb = params["speech_emb"][tok][:, None, :]
+        positions = (P + i - offset)[:, None]
+        smask = (valid & (slot[None, :] <= P + i))[:, None, None, :]
+        out = core.forward(
+            params, ccfg, inputs_embeds=emb, positions=positions, mask=smask,
+            cache=cache, cache_start=P + i, skip_logits=True,
+        )
+        nxt = out.hidden[:, 0].astype(jnp.float32) @ head.astype(jnp.float32)
+        return (out.cache, nxt, gen_len, done, key), tok
+
+    zeros = jnp.zeros((B,), jnp.int32)
+    (cache, _, gen_len, done, _), toks = jax.lax.scan(
+        step,
+        (out.cache, next_logits, zeros, jnp.zeros((B,), bool), key),
+        jnp.arange(max_new_tokens),
+    )
+    return SpeechGen(tokens=toks.T, lengths=gen_len)
+
+
+# ----------------------------------------------------------------------- training
+
+
+def lm_loss(
+    params: Params,
+    cfg: TokenLMConfig,
+    prefix: Prefix,
+    speech_targets: jnp.ndarray,   # [B, T_s] right-padded target speech tokens
+    target_len: jnp.ndarray,       # [B]
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Teacher-forced next-token CE on the speech continuation. The prefix is
+    LEFT-padded, targets are appended right after it: one forward over
+    [prefix ++ targets ++ EOS]."""
+    ccfg = core_config(cfg)
+    B, P, D = prefix.embeds.shape
+    T_s = speech_targets.shape[1]
+    eos_col = jnp.full((B, 1), cfg.speech_eos, jnp.int32)
+    tgt = jnp.concatenate([speech_targets, eos_col], axis=1)   # [B, T_s+1]
+    # place EOS right after each row's real targets
+    idx = jnp.arange(T_s + 1)[None, :]
+    tgt = jnp.where(idx == target_len[:, None], cfg.speech_eos, tgt)
+    tgt = jnp.where(idx > target_len[:, None], cfg.speech_pad, tgt)
+
+    tgt_emb = params["speech_emb"][tgt]
+    emb = jnp.concatenate([prefix.embeds, tgt_emb], axis=1)    # [B, P+T_s+1, D]
+    T = emb.shape[1]
+    offset = (P - prefix.length).astype(jnp.int32)
+    pos = jnp.maximum(jnp.arange(T, dtype=jnp.int32)[None, :] - offset[:, None], 0)
+    slotv = jnp.arange(T)[None, :] >= offset[:, None]
+    mask = causal_mask(T, T) & slotv[:, None, None, :]
+    out = core.forward(
+        params, ccfg, inputs_embeds=emb, positions=pos, mask=mask,
+        skip_logits=True, remat=remat,
+    )
+    head = params["speech_head"].astype(jnp.float32)
+    # logits at positions P-1 .. P+T_s-1 predict tgt[0..T_s]
+    h = out.hidden[:, P - 1 : P + T_s].astype(jnp.float32)
+    logits = h @ head
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[:, :, None], axis=-1)[..., 0]
+    w = (idx <= target_len[:, None]).astype(jnp.float32)       # include EOS step
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
