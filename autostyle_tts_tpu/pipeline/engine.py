@@ -1,0 +1,389 @@
+"""Synthesis engine — the TPU-native replacement for the reference's
+CosyVoice API surface (SURVEY §2.3.1):
+
+- ``inference_zero_shot(tts_text, prompt_text, prompt_speech_16k)``
+  (reference call: basic.py:15-16)
+- ``inference_vc(source_speech_16k, prompt_speech_16k)``
+  (tts_with_style_and_timbre.py:57)
+- ``inference_tts_with_st(tts_text, style_wav_text, style_wav, timbre_wav)``
+  — the paper's custom style/timbre split (vc_from_dir.py:198). Our defined
+  semantics (SURVEY §7 hard part 2): STYLE wav supplies the LM's prosody
+  prompt (its speech tokens + transcript); TIMBRE wav supplies the speaker
+  embedding, the flow decoder's prompt tokens+mel, and hence voice identity.
+- ``inference_sft(text, spk_id)`` against registered speakers
+  (referenced at vc_from_dir.py:19)
+
+Every method yields ``{'tts_speech': np.ndarray [1, T]}`` at 24 kHz like the
+reference's iterator contract, so the CLI layer ports 1:1.
+
+TPU design: four jitted stages (prompt featurization, token-LM generate, CFM
+mel solve, vocoder) with STATIC bucket shapes — text width / style tokens /
+max generated tokens are padded up to the nearest bucket so repeated calls
+never recompile. Batched variants process whole manifests per device program.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import cfm, frontend, speaker, speech_tokenizer, token_lm, vocoder
+from ..models import transformer as core
+from ..ops import stft
+from ..ops.resample import resample
+from ..ops.sampling import SamplerConfig
+from ..utils.config import Config
+from ..utils.timing import Stopwatch
+
+TEXT_BUCKETS = (32, 64, 128, 256, 512)
+TOKEN_BUCKETS = (32, 64, 128, 256)
+GEN_BUCKETS = (64, 128, 256, 512)
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    i = bisect.bisect_left(buckets, max(n, 1))
+    return buckets[min(i, len(buckets) - 1)]
+
+
+@dataclass
+class EngineParams:
+    token_lm: Dict
+    cfm: Dict
+    vocoder: Dict
+    speaker: Dict
+    speech_tokenizer: Dict
+
+    @classmethod
+    def init(cls, key: jax.Array, cfg: Config) -> "EngineParams":
+        ks = jax.random.split(key, 5)
+        return cls(
+            token_lm=token_lm.init_params(ks[0], cfg.token_lm),
+            cfm=cfm.init_params(ks[1], cfg.cfm),
+            vocoder=vocoder.init_params(ks[2], cfg.vocoder),
+            speaker=speaker.init_params(ks[3], cfg.speaker),
+            speech_tokenizer=speech_tokenizer.init_params(ks[4], cfg.speech_tokenizer),
+        )
+
+    def tree(self) -> Dict:
+        return {
+            "token_lm": self.token_lm, "cfm": self.cfm, "vocoder": self.vocoder,
+            "speaker": self.speaker, "speech_tokenizer": self.speech_tokenizer,
+        }
+
+    @classmethod
+    def from_tree(cls, t: Dict) -> "EngineParams":
+        return cls(**t)
+
+
+@dataclass
+class PromptFeatures:
+    """Device-resident features of one prompt wav (style or timbre)."""
+
+    tokens: np.ndarray        # [T_tok] int32 speech tokens (25 Hz)
+    spk: np.ndarray           # [spk_dim]
+    mel24: np.ndarray         # [F, n_mels] target-space mel (50 Hz @ 24 kHz)
+
+
+class Engine:
+    def __init__(
+        self,
+        cfg: Config,
+        params: Optional[EngineParams] = None,
+        seed: int = 0,
+        profile: bool = False,
+    ):
+        self.cfg = cfg
+        self.params = params or EngineParams.init(jax.random.PRNGKey(seed), cfg)
+        self.key = jax.random.PRNGKey(seed + 17)
+        self.watch = Stopwatch(profile=profile)
+        self.speakers: Dict[str, PromptFeatures] = {}
+        self._build_stages()
+
+    # ------------------------------------------------------------------ jitted stages
+
+    def _build_stages(self):
+        cfg = self.cfg
+        a = cfg.audio
+
+        @partial(jax.jit, static_argnames=())
+        def featurize(wav16: jnp.ndarray, length: jnp.ndarray):
+            """[B, T16] padded 16 kHz prompt wavs -> tokens, spk emb, mel24."""
+            # 16 kHz mel (100 Hz frames) for tokenizer + speaker encoder
+            mel16 = stft.log_mel_spectrogram(
+                wav16, a.prompt_sample_rate, a.prompt_n_fft, a.prompt_hop_length,
+                a.prompt_win_length, n_mels=a.prompt_n_mels, fmax=a.prompt_fmax,
+            )
+            n_frames16 = mel16.shape[1]
+            fmask16 = (
+                jnp.arange(n_frames16)[None, :]
+                < (length[:, None] // a.prompt_hop_length) + 1
+            ).astype(jnp.float32)
+            tok = speech_tokenizer.apply(
+                self.params.speech_tokenizer, cfg.speech_tokenizer, mel16, fmask16
+            )
+            spk = speaker.apply(self.params.speaker, cfg.speaker, mel16, fmask16)
+            # target-space mel (24 kHz, 50 Hz frames) for the CFM prompt
+            wav24 = resample(wav16, a.prompt_sample_rate, a.sample_rate)
+            mel24 = stft.log_mel_spectrogram(
+                wav24, a.sample_rate, a.n_fft, a.hop_length, a.win_length,
+                n_mels=a.n_mels, fmax=a.fmax,
+            )
+            return tok.tokens, tok.token_mask, spk, mel24
+
+        self._featurize = featurize
+
+        @partial(jax.jit, static_argnames=("n_frames",))
+        def mel_cond(
+            tokens: jnp.ndarray,       # [B, T_all] prompt++generated tokens
+            token_len: jnp.ndarray,    # [B]
+            prompt_len: jnp.ndarray,   # [B] prompt token count
+            prompt_mel: jnp.ndarray,   # [B, F_p, M]
+            prompt_mel_len: jnp.ndarray,
+            spk: jnp.ndarray,
+            key: jax.Array,
+            n_frames: int,
+        ):
+            up = cfg.cfm.upsample
+            cond = cfm.upsample_tokens(self.params.cfm, tokens, up)[:, :n_frames]
+            B = tokens.shape[0]
+            fr = jnp.arange(n_frames)[None, :]
+            frame_mask = (fr < token_len[:, None] * up).astype(jnp.float32)
+            pmask = (fr < prompt_len[:, None] * up).astype(jnp.float32)
+            # place prompt mel in the first frames (clip/pad to prompt region)
+            M = cfg.cfm.n_mels
+            F_p = prompt_mel.shape[1]
+            pm = jnp.zeros((B, n_frames, M), prompt_mel.dtype)
+            take = min(F_p, n_frames)
+            pm = pm.at[:, :take].set(prompt_mel[:, :take])
+            pm = pm * pmask[..., None]
+            mel = cfm.sample_mel(
+                self.params.cfm, cfg.cfm, key, cond, spk, pm, pmask, frame_mask,
+                use_cfg=True,
+            )
+            return mel, frame_mask, pmask
+
+        self._mel_cond = mel_cond
+
+        @jax.jit
+        def vocode(mel: jnp.ndarray) -> jnp.ndarray:
+            return vocoder.apply(self.params.vocoder, cfg.vocoder, mel)
+
+        self._vocode = vocode
+
+    # ------------------------------------------------------------------ prompt features
+
+    def prompt_features(self, wavs_16k: Sequence[np.ndarray]) -> List[PromptFeatures]:
+        """Featurize a batch of 16 kHz prompt wavs (padded to one bucket)."""
+        a = self.cfg.audio
+        lens = [len(w) for w in wavs_16k]
+        T = _bucket(max(lens), tuple(a.prompt_sample_rate * s for s in (1, 2, 4, 8, 16, 30)))
+        batch = np.zeros((len(wavs_16k), T), np.float32)
+        for i, w in enumerate(wavs_16k):
+            batch[i, : min(len(w), T)] = w[:T]
+        with self.watch.span("featurize"):
+            tokens, tok_mask, spk, mel24 = self._featurize(
+                jnp.asarray(batch), jnp.asarray(lens, jnp.int32)
+            )
+        tokens, tok_mask = np.asarray(tokens), np.asarray(tok_mask)
+        spk, mel24 = np.asarray(spk), np.asarray(mel24)
+        out = []
+        hop_tokens = a.prompt_hop_length * int(np.prod(self.cfg.speech_tokenizer.strides))
+        mel24_per_sec = a.sample_rate // a.hop_length
+        for i, w in enumerate(wavs_16k):
+            n_tok = max(1, min(lens[i] // hop_tokens, tokens.shape[1]))
+            n_f24 = max(1, min(
+                int(len(w) / a.prompt_sample_rate * mel24_per_sec), mel24.shape[1]
+            ))
+            out.append(
+                PromptFeatures(
+                    tokens=tokens[i, :n_tok], spk=spk[i], mel24=mel24[i, :n_f24]
+                )
+            )
+        return out
+
+    # ------------------------------------------------------------------ core synthesis
+
+    def _synthesize(
+        self,
+        texts: List[str],
+        style_texts: List[str],
+        style_feats: List[PromptFeatures],
+        flow_feats: List[PromptFeatures],
+        languages: Optional[List[Optional[str]]] = None,
+        max_seconds: float = 20.0,
+        lm_tokens_override: Optional[List[np.ndarray]] = None,
+    ) -> List[np.ndarray]:
+        """Shared path for all modes. style_feats drive the LM prosody prompt;
+        flow_feats drive speaker identity (spk emb + flow prompt tokens/mel).
+        lm_tokens_override (VC mode) skips the LM and feeds tokens directly."""
+        cfg = self.cfg
+        tl = cfg.token_lm
+        B = len(texts)
+
+        # --- token LM (or override)
+        if lm_tokens_override is None:
+            full_texts = [
+                (st + " " + tx).strip() if st else tx
+                for st, tx in zip(style_texts, texts)
+            ]
+            text_ids, text_lens = frontend.encode_batch(
+                full_texts, languages, width=_bucket(
+                    max(len(frontend.encode(t)) for t in full_texts), TEXT_BUCKETS
+                ),
+            )
+            sty_w = _bucket(max(len(f.tokens) for f in style_feats), TOKEN_BUCKETS)
+            sty = np.zeros((B, sty_w), np.int32)
+            sty_lens = np.zeros((B,), np.int32)
+            for i, f in enumerate(style_feats):
+                n = min(len(f.tokens), sty_w)
+                sty[i, :n] = f.tokens[:n]
+                sty_lens[i] = n
+            spk = np.stack([f.spk for f in flow_feats])
+            max_new = _bucket(int(max_seconds * tl.token_rate), GEN_BUCKETS)
+            with self.watch.span("lm_generate"):
+                pre = token_lm.build_prefix(
+                    self.params.token_lm, tl,
+                    jnp.asarray(text_ids), jnp.asarray(text_lens),
+                    jnp.asarray(sty), jnp.asarray(sty_lens), jnp.asarray(spk),
+                )
+                P = pre.embeds.shape[1]
+                cache = core.make_cache(
+                    token_lm.core_config(tl), B, P + max_new + 1
+                )
+                self.key, sub = jax.random.split(self.key)
+                gen = token_lm.generate_speech(
+                    self.params.token_lm, tl, pre, cache, sub,
+                    max_new_tokens=max_new,
+                )
+            gen_tokens = np.asarray(gen.tokens)
+            gen_lens = np.asarray(gen.lengths)
+        else:
+            gen_lens = np.asarray([len(t) for t in lm_tokens_override], np.int32)
+            max_new = _bucket(int(gen_lens.max()), GEN_BUCKETS)
+            gen_tokens = np.full((B, max_new), tl.speech_pad, np.int32)
+            for i, t in enumerate(lm_tokens_override):
+                gen_tokens[i, : len(t)] = t[:max_new]
+            spk = np.stack([f.spk for f in flow_feats])
+
+        # --- flow conditioning: [flow prompt tokens ++ generated tokens]
+        fp_w = _bucket(max(len(f.tokens) for f in flow_feats), TOKEN_BUCKETS)
+        T_all = fp_w + max_new
+        all_tokens = np.full((B, T_all), 0, np.int32)
+        tok_lens = np.zeros((B,), np.int32)
+        p_lens = np.zeros((B,), np.int32)
+        M = cfg.cfm.n_mels
+        mel24_len = np.zeros((B,), np.int32)
+        F_p = fp_w * cfg.cfm.upsample
+        prompt_mel = np.zeros((B, F_p, M), np.float32)
+        for i, f in enumerate(flow_feats):
+            n_p = min(len(f.tokens), fp_w)
+            all_tokens[i, :n_p] = f.tokens[:n_p]
+            # clip the flow-prompt mel to exactly n_p * upsample frames
+            n_mel = min(f.mel24.shape[0], n_p * cfg.cfm.upsample)
+            prompt_mel[i, :n_mel] = f.mel24[:n_mel]
+            mel24_len[i] = n_mel
+            all_tokens[i, n_p : n_p + gen_lens[i]] = gen_tokens[i, : gen_lens[i]]
+            p_lens[i] = n_p
+            tok_lens[i] = n_p + gen_lens[i]
+
+        n_frames = T_all * cfg.cfm.upsample
+        self.key, sub = jax.random.split(self.key)
+        with self.watch.span("cfm_sample"):
+            mel, frame_mask, pmask = self._mel_cond(
+                jnp.asarray(all_tokens), jnp.asarray(tok_lens), jnp.asarray(p_lens),
+                jnp.asarray(prompt_mel), jnp.asarray(mel24_len), jnp.asarray(spk),
+                sub, n_frames,
+            )
+        with self.watch.span("vocoder"):
+            wav = self._vocode(mel)
+        wav = np.asarray(wav)
+
+        # --- crop per row: drop prompt frames, keep generated region
+        hop = self.cfg.audio.hop_length
+        out = []
+        for i in range(B):
+            s = int(p_lens[i]) * cfg.cfm.upsample * hop
+            e = int(tok_lens[i]) * cfg.cfm.upsample * hop
+            out.append(wav[i, s:e].astype(np.float32))
+        return out
+
+    # ------------------------------------------------------------------ public API
+
+    def inference_zero_shot(
+        self, tts_text: str, prompt_text: str, prompt_speech_16k: np.ndarray,
+        stream: bool = False,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Zero-shot TTS: one wav supplies both prosody and identity
+        (reference: basic.py:15-16)."""
+        feats = self.prompt_features([np.asarray(prompt_speech_16k).reshape(-1)])
+        wavs = self._synthesize([tts_text], [prompt_text], feats, feats)
+        yield {"tts_speech": wavs[0][None, :]}
+
+    def inference_vc(
+        self, source_speech_16k: np.ndarray, prompt_speech_16k: np.ndarray,
+        stream: bool = False,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Voice conversion: source tokens re-rendered with the prompt's
+        identity (reference: tts_with_style_and_timbre.py:57). No LM."""
+        feats = self.prompt_features(
+            [np.asarray(source_speech_16k).reshape(-1),
+             np.asarray(prompt_speech_16k).reshape(-1)]
+        )
+        src, prm = feats
+        wavs = self._synthesize(
+            [""], [""], [prm], [prm], lm_tokens_override=[src.tokens]
+        )
+        yield {"tts_speech": wavs[0][None, :]}
+
+    def inference_tts_with_st(
+        self, tts_text: str, style_wav_text: str,
+        style_wav: np.ndarray, timbre_wav: np.ndarray, stream: bool = False,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Style/timbre-split synthesis — the project's custom API
+        (reference call sites vc_from_dir.py:198, tts_with_rag.py:195)."""
+        feats = self.prompt_features(
+            [np.asarray(style_wav).reshape(-1), np.asarray(timbre_wav).reshape(-1)]
+        )
+        sty, tim = feats
+        wavs = self._synthesize([tts_text], [style_wav_text], [sty], [tim])
+        yield {"tts_speech": wavs[0][None, :]}
+
+    def register_speaker(self, spk_id: str, prompt_speech_16k: np.ndarray) -> None:
+        self.speakers[spk_id] = self.prompt_features(
+            [np.asarray(prompt_speech_16k).reshape(-1)]
+        )[0]
+
+    def inference_sft(
+        self, tts_text: str, spk_id: str, stream: bool = False
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Registered-speaker TTS (reference mentions inference_sft,
+        vc_from_dir.py:19)."""
+        f = self.speakers[spk_id]
+        wavs = self._synthesize([tts_text], [""], [f], [f])
+        yield {"tts_speech": wavs[0][None, :]}
+
+    # ------------------------------------------------------------------ batched API
+
+    def synthesize_batch(
+        self,
+        tts_texts: List[str],
+        style_texts: List[str],
+        style_wavs: List[np.ndarray],
+        timbre_wavs: List[np.ndarray],
+        max_seconds: float = 20.0,
+    ) -> List[np.ndarray]:
+        """Batched tts_with_st: one device program per stage for the whole
+        batch (the reference looped utterance-by-utterance, SURVEY §3.1)."""
+        n = len(tts_texts)
+        feats = self.prompt_features(
+            [np.asarray(w).reshape(-1) for w in style_wavs]
+            + [np.asarray(w).reshape(-1) for w in timbre_wavs]
+        )
+        sty, tim = feats[:n], feats[n:]
+        return self._synthesize(tts_texts, style_texts, sty, tim, max_seconds=max_seconds)

@@ -1,0 +1,86 @@
+"""End-to-end engine tests (tiny config): every inference mode produces
+finite 24 kHz-contract audio of the expected length; batching matches
+single-item calls in shape; the reference's iterator contract holds."""
+
+import numpy as np
+import pytest
+
+from autostyle_tts_tpu.pipeline import Engine
+from autostyle_tts_tpu.utils.config import tiny_config
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return Engine(tiny_config(), seed=0)
+
+
+def _wav(seconds=1.0, sr=1600, f=220.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    return (0.4 * np.sin(2 * np.pi * f * t) + 0.05 * rng.standard_normal(len(t))).astype(
+        np.float32
+    )
+
+
+def test_zero_shot_contract(engine):
+    outs = list(engine.inference_zero_shot("hello world", "prompt text", _wav()))
+    assert len(outs) == 1
+    speech = outs[0]["tts_speech"]
+    assert speech.ndim == 2 and speech.shape[0] == 1
+    assert speech.shape[1] > 0
+    assert np.isfinite(speech).all()
+    assert np.abs(speech).max() <= 1.0
+    # sample count is a multiple of one mel frame's worth of samples
+    hop = engine.cfg.audio.hop_length
+    assert speech.shape[1] % hop == 0
+
+
+def test_tts_with_st_distinct_prompts(engine):
+    outs = list(
+        engine.inference_tts_with_st(
+            "some text", "style transcript", _wav(seed=1, f=200), _wav(seed=2, f=300)
+        )
+    )
+    speech = outs[0]["tts_speech"]
+    assert speech.shape[0] == 1 and np.isfinite(speech).all()
+
+
+def test_vc_length_tracks_source(engine):
+    src = _wav(seconds=2.0, seed=3)
+    prm = _wav(seconds=1.0, seed=4)
+    outs = list(engine.inference_vc(src, prm))
+    speech = outs[0]["tts_speech"][0]
+    # VC output duration ~ source duration (token-rate quantized):
+    # tokens = src_samples // (hop * prod(strides)); out = tokens * up * hop
+    st = engine.cfg
+    hop_tok = st.audio.prompt_hop_length * int(np.prod(st.speech_tokenizer.strides))
+    n_tok = len(src) // hop_tok
+    expected = n_tok * st.cfm.upsample * st.audio.hop_length
+    assert speech.shape[0] == expected
+
+
+def test_sft_registered_speaker(engine):
+    engine.register_speaker("spk_a", _wav(seed=5))
+    outs = list(engine.inference_sft("text for sft", "spk_a"))
+    assert outs[0]["tts_speech"].shape[1] > 0
+    with pytest.raises(KeyError):
+        list(engine.inference_sft("x", "unknown_spk"))
+
+
+def test_batch_matches_shapes(engine):
+    texts = ["first utterance", "second one"]
+    stys = ["style a", "style b"]
+    wavs = engine.synthesize_batch(
+        texts, stys, [_wav(seed=6), _wav(seed=7)], [_wav(seed=8), _wav(seed=9)]
+    )
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and w.size > 0 and np.isfinite(w).all()
+
+
+def test_deterministic_given_same_engine_seed():
+    e1 = Engine(tiny_config(), seed=42)
+    e2 = Engine(tiny_config(), seed=42)
+    w1 = list(e1.inference_zero_shot("abc", "p", _wav()))[0]["tts_speech"]
+    w2 = list(e2.inference_zero_shot("abc", "p", _wav()))[0]["tts_speech"]
+    np.testing.assert_allclose(w1, w2, atol=1e-5)
