@@ -1,1 +1,2 @@
 from .engine import Engine, EngineParams  # noqa: F401
+from .rag import DialogTurn, EmbedderService, build_style_db, search_dialog  # noqa: F401

@@ -1,0 +1,278 @@
+"""RAG layer: style-embedder LLM service + style-DB build + dialog search.
+
+Covers reference components C7-C13 (SURVEY §2.1) with ONE implementation of
+each function the reference repeated verbatim across 7 files (dup-code note):
+
+- ``EmbedderService.embed``          — mean-pooled last-hidden-layer text
+  embedding, 512-token truncation (milvus/RAG.py get_embedding :114-147)
+- ``EmbedderService.biography``      — sampled generation T=0.7 top_p=0.9,
+  250 new tokens (RAG.py generate_biography :150-188)
+- ``EmbedderService.emotion_label``  — greedy 10-token generation against the
+  6-label set (RAG.py generate_emotion_label :191-235)
+- ``combined_embedding``             — concat(emb(emotion_label), emb(bio)),
+  3072||3072 = 6144 (RAG.py create_combined_embedding :238-266)
+- ``build_style_db``                 — C7/C8 insert pipeline (per-speaker bio
+  once, per-utterance emotion, insert, self-verify)
+- ``search_dialog``                  — C10 batch query path + C11/C12
+  ablations (emotion-only / bio-only with zeroed halves,
+  search_json_ab_text.py:406-420, search_json_ab_bio.py:407-412)
+
+TPU notes: embeds/generations run batched & bucketed; the combined query
+matrix goes straight into the in-HBM StyleStore (one matmul+top_k); zero
+Python-per-item device sync in the embed path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import frontend
+from ..models import transformer as core
+from ..ops.sampling import SamplerConfig
+from ..retrieval import StyleStore
+from ..utils.config import TransformerConfig
+from ..utils.manifest import RetrievalRow, StyleSample, group_by_speaker
+
+# Prompt templates carried over as DATA (reference behaviour, not code).
+BIOGRAPHY_PROMPT = """
+Given this conversation between speakers:
+"
+{conversation}
+"
+In overall of above conversation, what do you think about the characteristics of speaker {speaker}? (Note: provide an answer within 250 words)
+"""
+
+EMOTION_PROMPT = """\n=======
+Context: Given predefined emotional label set [{labels}], and below conversation:
+"
+{text}
+"
+
+Question: What is the emotion of the speaker at the utterance "{text}"?
+Answer:"""
+
+EMOTION_LABELS_EN = ["happy", "sad", "neutral", "angry", "excited", "frustrated"]
+
+EMBED_MAX_TOKENS = 512       # RAG.py:129 truncation contract
+BIO_MAX_NEW = 250            # RAG.py:176-184
+EMOTION_MAX_NEW = 10         # RAG.py:219-227
+PLACEHOLDER_BIO = "This is a placeholder biography."  # search_json.py fallback
+
+
+class EmbedderService:
+    """Batched embedding + generation on the shared transformer core."""
+
+    def __init__(
+        self,
+        cfg: TransformerConfig,
+        params: Dict,
+        lora: Optional[Dict] = None,
+        lora_scale: float = 0.0,
+        labels: Sequence[str] = tuple(EMOTION_LABELS_EN),
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.lora = lora
+        self.lora_scale = lora_scale
+        self.labels = list(labels)
+        self.key = jax.random.PRNGKey(0)
+
+        @partial(jax.jit, static_argnames=())
+        def _embed(params, lora, tokens, attn_mask):
+            return core.embed_text(
+                params, cfg, tokens, attn_mask, lora=lora, lora_scale=lora_scale
+            )
+
+        self._embed_fn = _embed
+
+    # ------------------------------------------------------------------ embeddings
+
+    def embed(self, texts: List[str], width: int = EMBED_MAX_TOKENS) -> np.ndarray:
+        """[B] texts -> [B, dim] f32 mean-pooled last-hidden embeddings."""
+        ids, lens = frontend.encode_batch(texts, width=width)
+        mask = (np.arange(width)[None, :] < lens[:, None]).astype(np.int32)
+        out = self._embed_fn(
+            self.params, self.lora, jnp.asarray(ids), jnp.asarray(mask)
+        )
+        return np.asarray(out, np.float32)
+
+    def combined_embedding(
+        self, emotion_texts: List[str], biography_texts: List[str]
+    ) -> np.ndarray:
+        """concat(emb(emotion), emb(bio)) -> [B, 2*dim] (= 6144 at 3B)."""
+        emo = self.embed(emotion_texts)
+        bio = self.embed(biography_texts)
+        return np.concatenate([emo, bio], axis=-1)
+
+    # ------------------------------------------------------------------ generation
+
+    def _generate(
+        self, prompts: List[str], max_new: int, sampler: SamplerConfig,
+        prompt_width: int = 1024,
+    ) -> List[str]:
+        seqs = [frontend.encode(p, add_eos=False)[-prompt_width:] for p in prompts]
+        toks, lens = core.left_pad(seqs, pad_id=frontend.PAD_ID, width=prompt_width)
+        cache = core.make_cache(self.cfg, len(prompts), prompt_width + max_new + 1)
+        self.key, sub = jax.random.split(self.key)
+        res = core.generate(
+            self.params, self.cfg, jnp.asarray(toks), jnp.asarray(lens), cache,
+            sub, max_new_tokens=max_new, sampler=sampler,
+            eos_id=frontend.EOS_ID, pad_id=frontend.PAD_ID,
+            lora=self.lora, lora_scale=self.lora_scale,
+        )
+        out = []
+        for row, n in zip(np.asarray(res.tokens), np.asarray(res.lengths)):
+            out.append(frontend.decode(row[: int(n)]).strip())
+        return out
+
+    def biography(self, conversation: str, speaker: str) -> str:
+        return self.biographies([(conversation, speaker)])[0]
+
+    def biographies(self, items: List[Tuple[str, str]]) -> List[str]:
+        prompts = [
+            BIOGRAPHY_PROMPT.format(conversation=c, speaker=s) for c, s in items
+        ]
+        return self._generate(prompts, BIO_MAX_NEW, SamplerConfig.biography())
+
+    def emotion_label(self, text: str) -> str:
+        return self.emotion_labels([text])[0]
+
+    def emotion_labels(self, texts: List[str]) -> List[str]:
+        prompts = [
+            EMOTION_PROMPT.format(labels=", ".join(self.labels), text=t)
+            for t in texts
+        ]
+        raw = self._generate(
+            prompts, EMOTION_MAX_NEW, SamplerConfig.label(), prompt_width=512
+        )
+        out = []
+        for r in raw:
+            r = r.strip().lower()
+            match = next((l for l in self.labels if r.startswith(l.lower())), None)
+            match = match or next(
+                (l for l in self.labels if l.lower() in r), None
+            )
+            out.append(match or "neutral")  # reference default on failure
+        return out
+
+
+# ----------------------------------------------------------------------- DB build (C7/C8)
+
+
+def build_style_db(
+    embedder: EmbedderService,
+    samples: List[StyleSample],
+    capacity: int = 4096,
+    batch: int = 16,
+) -> StyleStore:
+    """Insert pipeline: group by speaker -> one biography per speaker from the
+    speaker's concatenated utterances -> per-utterance emotion label ->
+    combined 2*dim embedding -> insert -> self-verify
+    (reference main loop insert_embeddings.py:443-519, verify :544-584)."""
+    by_speaker = group_by_speaker(samples)
+    bios: Dict[str, str] = {}
+    spk_items = [
+        ("\n".join(s.zh_text for s in group), spk)
+        for spk, group in by_speaker.items()
+    ]
+    bio_texts = embedder.biographies(spk_items)
+    for (_, spk), bio in zip(spk_items, bio_texts):
+        bios[spk] = bio
+
+    store = StyleStore(dim=2 * embedder.cfg.dim, capacity=capacity)
+    for s0 in range(0, len(samples), batch):
+        chunk = samples[s0 : s0 + batch]
+        emotions = embedder.emotion_labels([s.zh_text for s in chunk])
+        vecs = embedder.combined_embedding(
+            emotions, [bios[s.speaker] for s in chunk]
+        )
+        store.insert(
+            vecs,
+            [
+                {
+                    "file_id": s.file_id,
+                    "text": s.zh_text,
+                    "speaker": s.speaker,
+                    "emotion": e,
+                }
+                for s, e in zip(chunk, emotions)
+            ],
+        )
+    if not store.self_verify():
+        raise RuntimeError("style DB self-verification failed (top-1 != self)")
+    return store
+
+
+# ----------------------------------------------------------------------- query (C10-C12)
+
+
+@dataclass
+class DialogTurn:
+    zh_text: str
+    speaker: str
+
+
+def search_dialog(
+    embedder: EmbedderService,
+    store: StyleStore,
+    turns: List[DialogTurn],
+    conversations_by_speaker: Optional[Dict[str, str]] = None,
+    top_k: int = 1,
+    file_prefix_path: str = "",
+    ablation: Optional[str] = None,    # None | "emotion_only" | "bio_only"
+    batch: int = 16,
+) -> List[RetrievalRow]:
+    """The production query path (search_json.py:313-465): one biography per
+    speaker, per-turn emotion label, combined query, top-k search, JSONL rows.
+
+    Ablations zero one half of the query and L2-normalize, matching
+    search_json_ab_text.py:406-420 / search_json_ab_bio.py:407-412.
+    """
+    speakers = sorted({t.speaker for t in turns})
+    convs = conversations_by_speaker or {
+        spk: "\n".join(t.zh_text for t in turns if t.speaker == spk)
+        for spk in speakers
+    }
+    bio_texts = embedder.biographies([(convs[s], s) for s in speakers])
+    bios = dict(zip(speakers, bio_texts))
+
+    rows: List[RetrievalRow] = []
+    for s0 in range(0, len(turns), batch):
+        chunk = turns[s0 : s0 + batch]
+        emotions = embedder.emotion_labels([t.zh_text for t in chunk])
+        biogs = [bios.get(t.speaker, PLACEHOLDER_BIO) for t in chunk]
+        q = embedder.combined_embedding(emotions, biogs)
+        half = q.shape[1] // 2
+        if ablation == "emotion_only":
+            q[:, half:] = 0.0
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        elif ablation == "bio_only":
+            q[:, :half] = 0.0
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        hits = store.search(q, k=top_k)
+        for t, hl in zip(chunk, hits):
+            if not hl:
+                rows.append(
+                    RetrievalRow(t.zh_text, t.speaker, "N/A", "N/A", 0.0)
+                )
+                continue
+            h = hl[0]
+            fid = h.file_id
+            if file_prefix_path:
+                fid = file_prefix_path.rstrip("/") + "/" + fid.lstrip("/")
+            rows.append(
+                RetrievalRow(
+                    zh_text=t.zh_text,
+                    speaker=t.speaker,
+                    retrieved_file_id=fid,
+                    retrieved_text=h.text,
+                    distance=h.distance,
+                )
+            )
+    return rows

@@ -186,13 +186,17 @@ class StyleStore:
 
     # ------------------------------------------------------------------ verification
 
-    def self_verify(self, sample: int = 16) -> bool:
-        """Insert self-check: top-1 of each stored vector is itself
-        (reference: insert_embeddings.py:544-584)."""
+    def self_verify(self, sample: int = 16, tol: float = 1e-4) -> bool:
+        """Insert self-check: searching each stored vector returns a perfect
+        (cosine = 1) top-1 hit (reference: insert_embeddings.py:544-584).
+        Ties are allowed — distinct rows can hold identical vectors (same
+        speaker + same emotion label yields the same combined embedding)."""
         n = len(self.meta)
         if n == 0:
             return True
         take = min(sample, n)
         rows = np.asarray(self.db[:take])
-        _, idx = self.search_arrays(rows, k=1)
-        return bool((idx[:, 0] == np.arange(take)).all())
+        scores, idx = self.search_arrays(rows, k=1)
+        exact = idx[:, 0] == np.arange(take)
+        tied = scores[:, 0] >= 1.0 - tol
+        return bool((exact | tied).all())

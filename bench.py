@@ -1,0 +1,93 @@
+"""End-to-end benchmark: p50 latency of one tts_with_style_timbre utterance.
+
+Reference baseline (BASELINE.md): "<5s inference time" per utterance on a
+single GPU (README.md:24); rebuild target <1s p50 per 24 kHz utterance on one
+v5e chip (BASELINE.json). This bench runs the FULL flagship pipeline at
+production geometry — prompt featurization (mel+tokenizer+speaker enc),
+300M-class token-LM scan decode, 10-step CFM mel solve with CFG, HiFi-GAN
+vocoder — on whatever device JAX selects (the driver runs it on the TPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = reference_5s / our_p50 (higher is better, >1 beats baseline).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_S = 5.0  # reference README.md:24 "<5s inference time"
+
+
+def main() -> None:
+    import jax
+
+    # persistent compile cache: first-ever run pays XLA compile (minutes via
+    # the axon tunnel), later runs start hot
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from autostyle_tts_tpu.pipeline import Engine
+    from autostyle_tts_tpu.utils.config import Config
+
+    cfg = Config()
+    engine = Engine(cfg, seed=0)
+
+    sr = cfg.audio.prompt_sample_rate
+    rng = np.random.default_rng(0)
+
+    def prompt_wav(seconds: float, f: float) -> np.ndarray:
+        t = np.arange(int(sr * seconds)) / sr
+        return (
+            0.4 * np.sin(2 * np.pi * f * t) + 0.02 * rng.standard_normal(len(t))
+        ).astype(np.float32)
+
+    style = prompt_wav(3.0, 200.0)
+    timbre = prompt_wav(3.0, 150.0)
+    text = "The quick brown fox jumps over the lazy dog near the river bank."
+    style_text = "A short style transcript for the prompt."
+
+    def run() -> np.ndarray:
+        feats = engine.prompt_features([style, timbre])
+        wavs = engine._synthesize(
+            [text], [style_text], [feats[0]], [feats[1]], max_seconds=5.0
+        )
+        return wavs[0][None, :]
+
+    # warmup / compile
+    wav = run()
+    audio_s = wav.shape[1] / cfg.audio.sample_rate
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        wav = run()
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    rtf = p50 / max(audio_s, 1e-9)
+
+    print(
+        json.dumps(
+            {
+                "metric": "tts_with_st_e2e_p50_latency",
+                "value": round(p50, 4),
+                "unit": "s/utt",
+                "vs_baseline": round(BASELINE_S / p50, 3),
+                "extra": {
+                    "audio_seconds": round(audio_s, 3),
+                    "rtf": round(rtf, 4),
+                    "device": str(jax.devices()[0]),
+                    "stage_p50_ms": {
+                        k: round(v["p50_s"] * 1e3, 1)
+                        for k, v in engine.watch.stats().items()
+                    },
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
