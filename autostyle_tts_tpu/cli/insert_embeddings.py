@@ -1,0 +1,70 @@
+"""Style-DB build (reference C7/C8, milvus/insert_embeddings.py + RAG.py):
+load style-sample manifests ({speaker, zh_text, file_id}), generate one
+biography per speaker and an emotion label per utterance with the embedder
+LLM, insert the 6144-d combined embeddings, self-verify, snapshot.
+
+Replaces Milvus Lite collection create/insert (insert_embeddings.py:43-80,
+:519) with the in-HBM StyleStore + npz snapshot. Flags: --input_json(s)
+--db_path --collection_name kept in spirit; embedder checkpoint/LoRA via
+--embedder_checkpoint/--lora_checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..pipeline.rag import EmbedderService, build_style_db
+from ..utils.manifest import load_style_manifests
+from .common import add_common_args, build_config
+
+
+def build_embedder(args, cfg):
+    import jax
+
+    from ..models import transformer as core
+
+    ecfg = cfg.embedder
+    params = core.init_params(jax.random.PRNGKey(args.seed), ecfg)
+    if getattr(args, "embedder_checkpoint", None):
+        from ..utils.checkpoint import load_pytree
+
+        params = load_pytree(args.embedder_checkpoint, params)
+    lora = None
+    lora_scale = 0.0
+    if getattr(args, "lora_checkpoint", None):
+        from ..utils.checkpoint import load_pytree
+
+        lora0 = core.init_lora(jax.random.PRNGKey(0), ecfg, cfg.train.lora.r)
+        lora = load_pytree(args.lora_checkpoint, lora0)
+        lora_scale = cfg.train.lora.alpha / cfg.train.lora.r
+    return EmbedderService(ecfg, params, lora=lora, lora_scale=lora_scale)
+
+
+def add_embedder_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--embedder_checkpoint", type=str, default=None)
+    p.add_argument("--lora_checkpoint", type=str, default=None)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    add_embedder_args(p)
+    p.add_argument("--input_json", type=str, nargs="+", required=True,
+                   help="style-sample manifest JSON(s)")
+    p.add_argument("--db_path", type=str, required=True,
+                   help="output snapshot path (npz + meta sidecar)")
+    p.add_argument("--capacity", type=int, default=4096)
+    args = p.parse_args(argv)
+
+    cfg = build_config(args)
+    embedder = build_embedder(args, cfg)
+    samples = load_style_manifests(args.input_json)
+    print(f"loaded {len(samples)} style samples from {len(args.input_json)} file(s)")
+    store = build_style_db(embedder, samples, capacity=args.capacity)
+    store.save(args.db_path)
+    print(f"inserted {len(store)} vectors (dim {store.dim}); "
+          f"self-verify ok; snapshot -> {args.db_path}")
+
+
+if __name__ == "__main__":
+    main()
