@@ -115,6 +115,19 @@ def build_prefix(
     return Prefix(embeds=emb, length=total)
 
 
+def pad_prefix(prefix: Prefix, multiple: int = 128) -> Prefix:
+    """Extend the LEFT padding so P is a multiple of `multiple` (Pallas flash
+    prefill block alignment). Extra pad slots are masked via the offset."""
+    B, P, D = prefix.embeds.shape
+    extra = (-P) % multiple
+    if extra == 0:
+        return prefix
+    pad = jnp.zeros((B, extra, D), prefix.embeds.dtype)
+    return Prefix(
+        embeds=jnp.concatenate([pad, prefix.embeds], axis=1), length=prefix.length
+    )
+
+
 # ----------------------------------------------------------------------- generate
 
 
@@ -153,9 +166,10 @@ def generate_speech(
     out = core.forward(
         params, ccfg, inputs_embeds=prefix.embeds, positions=pos, mask=pmask,
         cache=cache, cache_start=jnp.int32(0), skip_logits=True,
+        flash_offset=offset if core.flash_ok(P, ccfg.head_dim) else None,
     )
     head = params["speech_head"]
-    next_logits = (out.hidden[:, -1].astype(jnp.float32) @ head.astype(jnp.float32))
+    next_logits = core.matmul_any(out.hidden[:, -1], head).astype(jnp.float32)
 
     eos, padt = cfg.speech_eos, cfg.speech_pad
 
@@ -179,7 +193,7 @@ def generate_speech(
             params, ccfg, inputs_embeds=emb, positions=positions, mask=smask,
             cache=cache, cache_start=P + i, skip_logits=True,
         )
-        nxt = out.hidden[:, 0].astype(jnp.float32) @ head.astype(jnp.float32)
+        nxt = core.matmul_any(out.hidden[:, 0], head).astype(jnp.float32)
         return (out.cache, nxt, gen_len, done, key), tok
 
     zeros = jnp.zeros((B,), jnp.int32)
@@ -226,10 +240,9 @@ def lm_loss(
         params, ccfg, inputs_embeds=emb, positions=pos, mask=mask,
         skip_logits=True, remat=remat,
     )
-    head = params["speech_head"].astype(jnp.float32)
     # logits at positions P-1 .. P+T_s-1 predict tgt[0..T_s]
-    h = out.hidden[:, P - 1 : P + T_s].astype(jnp.float32)
-    logits = h @ head
+    h = out.hidden[:, P - 1 : P + T_s]
+    logits = core.matmul_any(h, params["speech_head"]).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, tgt[:, :, None], axis=-1)[..., 0]
     w = (idx <= target_len[:, None]).astype(jnp.float32)       # include EOS step

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import apply_rope, rope_table, sdpa
+from ..ops.quant import QTensor
 from ..ops.sampling import SamplerConfig, sample
 from ..utils.config import TransformerConfig
 
@@ -112,8 +113,17 @@ def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (nrm * w).astype(x.dtype)
 
 
+def matmul_any(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x @ w -> f32, where w is a dense array or an int8 QTensor (the scale
+    commutes with the contraction, so the MXU sees a plain matmul)."""
+    if isinstance(w, QTensor):
+        y = jnp.matmul(x, w.q.astype(x.dtype), preferred_element_type=jnp.float32)
+        return y * w.s.astype(jnp.float32)
+    return jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+
+
 def _proj(x, w, lora_a=None, lora_b=None, scale: float = 0.0):
-    y = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    y = matmul_any(x, w)
     if lora_a is not None:
         ax = jnp.matmul(x, lora_a.astype(x.dtype), preferred_element_type=jnp.float32)
         y = y + scale * jnp.matmul(
@@ -142,6 +152,7 @@ def _layer(
     mask: jnp.ndarray,              # [B, 1, T, S]
     cache: Optional[LayerState],
     cache_start: Optional[jnp.ndarray],
+    flash_offset: Optional[jnp.ndarray] = None,  # [B] -> use pallas flash
 ) -> Tuple[jnp.ndarray, Optional[LayerState]]:
     B, T, D = h.shape
     H, K, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -171,7 +182,15 @@ def _layer(
     else:
         k_att, v_att = k, v
 
-    attn = sdpa(q, k_att, v_att, mask).reshape(B, T, H * hd)
+    if flash_offset is not None:
+        # Pallas flash path (prefill): self-attention over the T new keys is
+        # equivalent to attending the cache at cache_start=0 under the causal
+        # + left-pad mask; the cache is still updated above for decode.
+        from ..ops.pallas_attn import flash_attention
+
+        attn = flash_attention(q, k, v, flash_offset).reshape(B, T, H * hd)
+    else:
+        attn = sdpa(q, k_att, v_att, mask).reshape(B, T, H * hd)
     h = h + _proj(attn, lp["wo"], *g("wo"), lora_scale)
 
     x = rmsnorm(h, lp["mlp_norm"], cfg.norm_eps)
@@ -211,6 +230,7 @@ def forward(
     lora_scale: float = 0.0,
     remat: bool = False,
     skip_logits: bool = False,
+    flash_offset: Optional[jnp.ndarray] = None,
 ) -> ForwardResult:
     """Full-sequence (prefill/training) or incremental (decode) forward.
 
@@ -244,7 +264,7 @@ def forward(
             fn = jax.checkpoint(_layer, static_argnums=(4,))
         h, new_cache = fn(
             h, lp, lo, lora_scale, cfg, cos, sin, positions, mask,
-            layer_cache, cache_start,
+            layer_cache, cache_start, flash_offset,
         )
         out_cache = (
             {"k": new_cache.k, "v": new_cache.v} if new_cache is not None else None
@@ -277,10 +297,7 @@ def forward(
     logits = None
     if not skip_logits:
         w_out = params["lm_head"] if "lm_head" in params else params["tok_emb"].T
-        logits = jnp.matmul(
-            h.astype(compute_dtype), w_out.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
+        logits = matmul_any(h.astype(compute_dtype), w_out)
     return ForwardResult(logits=logits, hidden=h, cache=new_cache)
 
 
@@ -313,6 +330,18 @@ def embed_text(
 
 
 # =============================================================================== generate
+
+
+def flash_ok(t: int, head_dim: int) -> bool:
+    """Use the Pallas flash-attention prefill path? TPU only (interpret-free),
+    block-aligned T, production-sized heads. ASTTTS_FLASH=0 disables."""
+    import os
+
+    if os.environ.get("ASTTTS_FLASH", "1") == "0":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    return t >= 128 and t % 128 == 0 and head_dim >= 64
 
 
 class GenerateResult(NamedTuple):
@@ -378,6 +407,7 @@ def generate(
     out = forward(
         params, cfg, prompt, positions=pos, mask=pmask, cache=cache,
         cache_start=jnp.int32(0), lora=lora, lora_scale=lora_scale,
+        flash_offset=offset if flash_ok(P, cfg.head_dim) else None,
     )
     next_logits = out.logits[:, -1]                      # all rows end at slot P-1
 

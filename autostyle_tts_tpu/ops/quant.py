@@ -1,0 +1,80 @@
+"""Int8 weight-only quantization (symmetric, per-output-channel scales).
+
+Replaces bitsandbytes 4/8-bit CUDA kernels the reference loaded the embedder
+with (SURVEY §2.3.2: load_in_8bit milvus/RAG.py:89-92, nf4 src/ft_llm.py:209-211).
+TPU-native form: weights live in HBM as int8 (halving weight bandwidth — the
+3B embedder drops from ~6.4 GB bf16 to ~3.2 GB), are cast to the compute
+dtype on the fly inside the matmul fusion, and the per-channel scale is
+folded in AFTER the matmul (scales commute with the contraction), so the MXU
+still sees a plain dense matmul. LoRA deltas stay full precision.
+
+``QTensor`` is a pytree node, so quantized params flow through jit/pjit and
+the sharding rules unchanged (rules match the logical weight name one level
+up; see parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QTensor(NamedTuple):
+    q: jnp.ndarray        # int8 values, same shape as the original weight
+    s: jnp.ndarray        # f32 scale, shape = weight.shape[:-2] + (1, out)
+
+
+def quantize(w: jnp.ndarray, axis: int = -1) -> QTensor:
+    """Symmetric per-channel int8: scale = absmax/127 along every dim except
+    `axis` (the output-channel dim keeps its own scale)."""
+    reduce_axes = tuple(i for i in range(w.ndim) if i != axis % w.ndim)
+    absmax = jnp.max(jnp.abs(w), axis=reduce_axes[-1], keepdims=True)
+    # per-channel over the contraction dim only (keep leading stack dims)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QTensor(q=q, s=scale.astype(jnp.float32))
+
+
+def dequantize(t: QTensor, dtype=jnp.float32) -> jnp.ndarray:
+    return (t.q.astype(jnp.float32) * t.s).astype(dtype)
+
+
+def qmatmul(x: jnp.ndarray, t: QTensor) -> jnp.ndarray:
+    """x @ dequant(t) with the scale folded in after the contraction."""
+    y = jnp.matmul(x, t.q.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y * t.s.astype(jnp.float32)).astype(x.dtype)
+
+
+def qlookup(t: QTensor, idx: jnp.ndarray) -> jnp.ndarray:
+    """Embedding-table gather on a quantized [V, D] table (scale is per-D row
+    of the contraction view: shape [V, 1] -> broadcast)."""
+    return t.q[idx].astype(jnp.float32) * t.s[idx]
+
+
+_QUANT_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                "lm_head", "speech_head")
+
+
+def quantize_tree(params: Dict, names: Tuple[str, ...] = _QUANT_NAMES) -> Dict:
+    """Quantize matching projection weights in a transformer param tree
+    (embeddings and norms stay full precision; LoRA is never quantized)."""
+
+    def walk(d: Any) -> Any:
+        if isinstance(d, dict):
+            return {
+                k: quantize(v, axis=-1)
+                if k in names and hasattr(v, "ndim") and v.ndim >= 2
+                else walk(v)
+                for k, v in d.items()
+            }
+        return d
+
+    return walk(params)
+
+
+def tree_bytes(params: Any) -> int:
+    return sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)
+    )

@@ -252,6 +252,7 @@ class Engine:
                     jnp.asarray(text_ids), jnp.asarray(text_lens),
                     jnp.asarray(sty), jnp.asarray(sty_lens), jnp.asarray(spk),
                 )
+                pre = token_lm.pad_prefix(pre)  # flash prefill block alignment
                 P = pre.embeds.shape[1]
                 cache = core.make_cache(
                     token_lm.core_config(tl), B, P + max_new + 1

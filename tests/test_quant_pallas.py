@@ -1,0 +1,113 @@
+"""Int8 weight-only quantization + Pallas flash attention parity tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autostyle_tts_tpu.models import transformer as tfm
+from autostyle_tts_tpu.ops import quant
+from autostyle_tts_tpu.ops.attention import causal_mask, sdpa
+from autostyle_tts_tpu.ops.pallas_attn import flash_attention
+from autostyle_tts_tpu.utils.config import TransformerConfig
+
+
+# ----------------------------------------------------------------------- quant
+
+
+def test_quant_roundtrip_error_small():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    t = quant.quantize(w)
+    back = quant.dequantize(t)
+    err = np.abs(np.asarray(back - w)).max() / np.abs(np.asarray(w)).max()
+    assert err < 0.01  # 127-level symmetric grid
+
+
+def test_qmatmul_matches_dense():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    dense = x @ w
+    qd = quant.qmatmul(x, quant.quantize(w))
+    rel = np.abs(np.asarray(qd - dense)).max() / np.abs(np.asarray(dense)).max()
+    assert rel < 0.02
+
+
+def test_quantize_tree_stacked_layers():
+    cfg = TransformerConfig(
+        vocab_size=97, dim=32, n_layers=3, n_heads=4, n_kv_heads=2,
+        ffn_dim=64, max_seq_len=64, dtype="float32",
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_tree(params)
+    # projections quantized, embeddings/norms untouched
+    assert isinstance(qparams["layers"]["wq"], quant.QTensor)
+    assert qparams["layers"]["wq"].q.dtype == jnp.int8
+    assert qparams["layers"]["wq"].s.shape == (3, 1, 32)  # per-layer per-channel
+    assert not isinstance(qparams["tok_emb"], quant.QTensor)
+    assert quant.tree_bytes(qparams) < 0.55 * quant.tree_bytes(params)
+
+
+def test_quantized_forward_close_and_generate_runs():
+    cfg = TransformerConfig(
+        vocab_size=97, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=128, max_seq_len=64, dtype="float32",
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_tree(params)
+    tokens = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
+    full = tfm.forward(params, cfg, tokens).logits
+    qout = tfm.forward(qparams, cfg, tokens).logits
+    # logits track closely in probability space
+    pf = jax.nn.softmax(full, -1)
+    pq = jax.nn.softmax(qout, -1)
+    assert float(jnp.abs(pf - pq).max()) < 0.05
+    # generate works on a quantized tree
+    from autostyle_tts_tpu.ops.sampling import SamplerConfig
+
+    toks, lens = tfm.left_pad([[1, 2, 3]], pad_id=0)
+    cache = tfm.make_cache(cfg, 1, 16, jnp.float32)
+    res = tfm.generate(
+        qparams, cfg, jnp.asarray(toks), jnp.asarray(lens), cache,
+        jax.random.PRNGKey(0), max_new_tokens=4,
+        sampler=SamplerConfig.label(), eos_id=96,
+    )
+    assert res.tokens.shape == (1, 4)
+
+
+# ----------------------------------------------------------------------- pallas flash attention
+
+
+@pytest.mark.parametrize("kv_heads", [4, 2, 1])
+def test_flash_matches_sdpa_causal(kv_heads):
+    rng = np.random.default_rng(0)
+    B, T, H, hd = 2, 128, 4, 32
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, kv_heads, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, kv_heads, hd)), jnp.float32)
+    offset = jnp.asarray([0, 13], jnp.int32)  # row 1 left-padded by 13
+
+    got = flash_attention(q, k, v, offset, block_t=64, block_s=64, interpret=True)
+
+    slot = jnp.arange(T)
+    mask = causal_mask(T, T) & (slot[None, :] >= offset[:, None])[:, None, None, :]
+    ref = sdpa(q, k, v, mask)
+    # padded query rows (slots < offset) attend nothing in flash; compare valid
+    valid_q = (slot[None, :] >= offset[:, None])[..., None, None]
+    g = np.asarray(jnp.where(valid_q, got, 0))
+    r = np.asarray(jnp.where(valid_q, ref, 0))
+    np.testing.assert_allclose(g, r, atol=2e-5)
+
+
+def test_flash_block_boundaries():
+    """T not aligned to a single block: multiple q blocks, diagonal skipping."""
+    rng = np.random.default_rng(1)
+    B, T, H, hd = 1, 256, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    offset = jnp.zeros((B,), jnp.int32)
+    got = flash_attention(q, k, v, offset, block_t=64, block_s=128, interpret=True)
+    ref = sdpa(q, k, v, causal_mask(T, T))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
