@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import argparse
 
-from ..utils.audio_io import load_wav
+from ..utils.native_audio import load_wav_fast as load_wav
 from .common import add_common_args, build_engine, save_wav_22050_or_24k
 
 

@@ -14,7 +14,7 @@ import argparse
 import json
 from pathlib import Path
 
-from ..utils.audio_io import load_wav
+from ..utils.native_audio import load_wav_fast as load_wav
 from ..utils.manifest import read_jsonl
 from .common import (
     add_common_args, build_engine, save_wav_22050_or_24k, timestamped_dir,

@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-from ..utils.audio_io import load_wav
+from ..utils.native_audio import load_wav_fast as load_wav
 from .common import add_common_args, build_engine, read_lines, save_wav_22050_or_24k
 
 

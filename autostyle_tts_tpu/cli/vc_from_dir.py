@@ -17,7 +17,7 @@ import random
 from pathlib import Path
 from typing import List
 
-from ..utils.audio_io import load_wav
+from ..utils.native_audio import load_wav_fast as load_wav
 from ..utils.manifest import meta_lst_row, write_meta_lst
 from .common import add_common_args, build_engine, read_lines, save_wav_22050_or_24k
 
