@@ -68,6 +68,22 @@ def main() -> None:
     p50 = float(np.median(times))
     rtf = p50 / max(audio_s, 1e-9)
 
+    # secondary: retrieval QPS at 1k styles x 6144 dims (BASELINE.md target)
+    from autostyle_tts_tpu.retrieval import StyleStore
+
+    store = StyleStore(dim=6144, capacity=1024)
+    store.insert(
+        rng.standard_normal((1000, 6144)).astype(np.float32),
+        [{"file_id": str(i), "text": ""} for i in range(1000)],
+    )
+    queries = rng.standard_normal((64, 6144)).astype(np.float32)
+    store.search_arrays(queries, k=5)  # warm
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        store.search_arrays(queries, k=5)
+    retrieval_qps = reps * len(queries) / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -78,6 +94,7 @@ def main() -> None:
                 "extra": {
                     "audio_seconds": round(audio_s, 3),
                     "rtf": round(rtf, 4),
+                    "retrieval_qps_1k_styles_top5": round(retrieval_qps, 1),
                     "device": str(jax.devices()[0]),
                     "stage_p50_ms": {
                         k: round(v["p50_s"] * 1e3, 1)
