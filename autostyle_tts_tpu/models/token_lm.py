@@ -139,13 +139,11 @@ class SpeechGen(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "sampler", "min_tokens"),
-    donate_argnames=("cache",),
 )
 def generate_speech(
     params: Params,
     cfg: TokenLMConfig,
     prefix: Prefix,
-    cache: Dict[str, jnp.ndarray],
     key: jax.Array,
     *,
     max_new_tokens: int,
@@ -153,10 +151,12 @@ def generate_speech(
     min_tokens: int = 2,
 ) -> SpeechGen:
     """Single-program prefill + scan decode over speech tokens with EOS and
-    a min-length floor (EOS logit suppressed before min_tokens)."""
+    a min-length floor (EOS logit suppressed before min_tokens). The KV cache
+    is allocated INSIDE the program (never crosses the host boundary)."""
     ccfg = core_config(cfg)
     B, P, D = prefix.embeds.shape
-    S_max = cache["k"].shape[2]
+    S_max = P + max_new_tokens + 1
+    cache = core.make_cache(ccfg, B, S_max)
     slot = jnp.arange(S_max, dtype=jnp.int32)
     offset = (P - prefix.length).astype(jnp.int32)
 

@@ -264,14 +264,9 @@ class Engine:
                     jnp.asarray(sty), jnp.asarray(sty_lens), jnp.asarray(spk),
                 )
                 pre = token_lm.pad_prefix(pre)  # flash prefill block alignment
-                P = pre.embeds.shape[1]
-                cache = core.make_cache(
-                    token_lm.core_config(tl), B, P + max_new + 1
-                )
                 self.key, sub = jax.random.split(self.key)
                 gen = token_lm.generate_speech(
-                    self.params.token_lm, tl, pre, cache, sub,
-                    max_new_tokens=max_new,
+                    self.params.token_lm, tl, pre, sub, max_new_tokens=max_new,
                 )
             gen_tokens = np.asarray(gen.tokens)
             gen_lens = np.asarray(gen.lengths)

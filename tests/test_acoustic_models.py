@@ -208,9 +208,8 @@ def test_token_lm_generate_and_loss(cfg):
     spk = jnp.ones((B, tl.spk_dim)) / tl.spk_dim
     pre = token_lm.build_prefix(p, tl, text, text_len, sty, sty_len, spk)
     max_new = 8
-    cache = core.make_cache(ccfg, B, pre.embeds.shape[1] + max_new + 1, jnp.float32)
     gen = token_lm.generate_speech(
-        p, tl, pre, cache, jax.random.PRNGKey(0),
+        p, tl, pre, jax.random.PRNGKey(0),
         max_new_tokens=max_new, sampler=SamplerConfig.label(), min_tokens=2,
     )
     assert gen.tokens.shape == (B, max_new)

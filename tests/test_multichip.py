@@ -40,24 +40,16 @@ def test_dp_generate_speech_on_mesh():
             jax.device_put(sty_len, batch_sharding(mesh, 1)),
             jax.device_put(spk, batch_sharding(mesh, 2)),
         )
-        ccfg = token_lm.core_config(cfg)
-        cache = core.make_cache(ccfg, B, pre.embeds.shape[1] + 9, jnp.float32)
-        cache = jax.device_put(
-            cache,
-            {k: NamedSharding(mesh, P(None, DATA_AXIS, None, None, None))
-             for k in cache},
-        )
         gen = token_lm.generate_speech(
-            p_sh, cfg, pre, cache, jax.random.PRNGKey(0),
+            p_sh, cfg, pre, jax.random.PRNGKey(0),
             max_new_tokens=8, sampler=SamplerConfig.label(),
         )
         toks = np.asarray(gen.tokens)
     assert toks.shape == (B, 8)
     # row results must match the unsharded run (greedy -> deterministic)
-    cache2 = core.make_cache(ccfg, B, pre.embeds.shape[1] + 9, jnp.float32)
     pre2 = token_lm.build_prefix(params, cfg, text, text_len, sty, sty_len, spk)
     ref = token_lm.generate_speech(
-        params, cfg, pre2, cache2, jax.random.PRNGKey(0),
+        params, cfg, pre2, jax.random.PRNGKey(0),
         max_new_tokens=8, sampler=SamplerConfig.label(),
     )
     np.testing.assert_array_equal(toks, np.asarray(ref.tokens))
