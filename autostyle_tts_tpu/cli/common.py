@@ -62,9 +62,12 @@ def build_engine(args):
     cfg = build_config(args)
     params = None
     if args.checkpoint:
+        import jax.numpy as jnp
+
         init = EngineParams.init(jax.random.PRNGKey(args.seed), cfg)
+        loaded = load_pytree(args.checkpoint, init.tree())
         params = EngineParams.from_tree(
-            load_pytree(args.checkpoint, init.tree())
+            jax.tree_util.tree_map(jnp.asarray, loaded)
         )
     return Engine(cfg, params=params, seed=args.seed)
 

@@ -54,6 +54,10 @@ def main(argv=None) -> None:
     p.add_argument("--db_path", type=str, required=True,
                    help="output snapshot path (npz + meta sidecar)")
     p.add_argument("--capacity", type=int, default=4096)
+    p.add_argument("--dump_embeddings", type=str, default=None,
+                   help="also write a reference-shaped embedding dump JSON "
+                        "([{file_id, text, combined_embedding, ...}], like "
+                        "output_emb/embeddings_biographies_en.json)")
     args = p.parse_args(argv)
 
     cfg = build_config(args)
@@ -64,6 +68,27 @@ def main(argv=None) -> None:
     store.save(args.db_path)
     print(f"inserted {len(store)} vectors (dim {store.dim}); "
           f"self-verify ok; snapshot -> {args.db_path}")
+    if args.dump_embeddings:
+        import json
+
+        import numpy as np
+
+        n = len(store)
+        vecs = np.asarray(store.db[:n])
+        dump = [
+            {
+                **store.meta[i],
+                "combined_embedding": vecs[i].tolist(),
+                "combined_embedding_shape": [store.dim],
+            }
+            for i in range(n)
+        ]
+        from pathlib import Path
+
+        Path(args.dump_embeddings).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.dump_embeddings, "w", encoding="utf-8") as f:
+            json.dump(dump, f, ensure_ascii=False)
+        print(f"embedding dump -> {args.dump_embeddings}")
 
 
 if __name__ == "__main__":

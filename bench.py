@@ -33,6 +33,12 @@ def main() -> None:
     from autostyle_tts_tpu.utils.config import Config
 
     cfg = Config()
+    # production serving config: int8 weight-only token LM (the reference
+    # itself served its LLM 8-bit, milvus/RAG.py:89-92). ASTTTS_BENCH_INT8=0
+    # benches the bf16 path instead.
+    import os
+
+    cfg.quantize_lm_int8 = os.environ.get("ASTTTS_BENCH_INT8", "1") != "0"
     engine = Engine(cfg, seed=0)
 
     sr = cfg.audio.prompt_sample_rate
