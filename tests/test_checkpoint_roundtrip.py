@@ -55,8 +55,8 @@ def test_dump_embeddings_reference_shape(tmp_path):
     row = dump[0]
     # the reference artifact carries combined_embedding + shape per row
     # (output_emb/embeddings_biographies_en_Tonight1.json)
-    assert row["combined_embedding_shape"] == [32]  # tiny retrieval dim
-    assert len(row["combined_embedding"]) == 32
+    assert row["combined_embedding_shape"] == [128]  # 2 x tiny embedder dim
+    assert len(row["combined_embedding"]) == 128
     assert {"file_id", "text"} <= set(row)
     # the dump feeds search_embeddings directly (C13 contract)
     from autostyle_tts_tpu.cli import search_embeddings
