@@ -57,7 +57,7 @@ def init_params(key: jax.Array, cfg: VocoderConfig) -> Params:
                     }
                 )
                 ki += 2
-            up["mrf"].append({"kernel": kern, "layers": block})
+            up["mrf"].append({"layers": block})
         p["ups"].append(up)
         ch = out_ch
     return p

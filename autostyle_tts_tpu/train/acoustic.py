@@ -1,0 +1,135 @@
+"""Training steps for the synthesis stack (token LM, CFM decoder, vocoder,
+tokenizer VQ) — jitted optax steps with dp-shardable batches.
+
+The reference consumed a frozen pretrained CosyVoice-300M (no training code in
+its repo; SURVEY §0), so its users could never adapt the engine. This module
+makes every synthesis stage trainable on TPU:
+
+- token LM: teacher-forced CE on speech continuations (models/token_lm.lm_loss)
+- CFM: OT-CFM regression (models/cfm.cfm_loss) with conditioning dropout
+- vocoder: multi-resolution STFT + mel L1 (models/vocoder losses; adversarial
+  discriminators can be layered on later — the aux losses train a usable
+  generator alone)
+- speech tokenizer: VQ commitment loss + straight-through codebook update
+
+Each `make_*_step` returns a jitted (params, opt_state, batch, key) ->
+(params, opt_state, loss) function; batches shard over the data axis with
+parallel.sharding.batch_sharding under a mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import cfm as cfm_lib
+from ..models import token_lm as tlm_lib
+from ..models import vocoder as voc_lib
+from ..utils.config import CFMConfig, TokenLMConfig, VocoderConfig
+
+
+def default_optimizer(lr: float = 1e-4, total_steps: int = 10000):
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.cosine_decay_schedule(lr, max(total_steps, 1))),
+    )
+
+
+# ----------------------------------------------------------------------- token LM
+
+
+def make_token_lm_step(cfg: TokenLMConfig, optimizer, remat: bool = True):
+    @partial(jax.jit, donate_argnames=("params", "opt_state"))
+    def step(params, opt_state, batch, key):
+        def loss_fn(p):
+            pre = tlm_lib.build_prefix(
+                p, cfg, batch["text"], batch["text_len"],
+                batch["style_tokens"], batch["style_len"], batch["spk"],
+            )
+            return tlm_lib.lm_loss(
+                p, cfg, pre, batch["targets"], batch["target_len"], remat=remat
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+# ----------------------------------------------------------------------- CFM
+
+
+def make_cfm_step(cfg: CFMConfig, optimizer, cond_drop_prob: float = 0.2):
+    @partial(jax.jit, donate_argnames=("params", "opt_state"))
+    def step(params, opt_state, batch, key):
+        def loss_fn(p):
+            cond = cfm_lib.upsample_tokens(p, batch["tokens"], cfg.upsample)
+            out = cfm_lib.cfm_loss(
+                p, cfg, key, batch["mel"], cond, batch["spk"],
+                batch["prompt_mask"], batch["frame_mask"],
+                cond_drop_prob=cond_drop_prob,
+            )
+            return out.loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+# ----------------------------------------------------------------------- vocoder
+
+
+def make_vocoder_step(
+    cfg: VocoderConfig, optimizer, sr: int, n_fft: int, hop: int,
+    stft_weight: float = 1.0, mel_weight: float = 45.0,
+):
+    @partial(jax.jit, donate_argnames=("params", "opt_state"))
+    def step(params, opt_state, batch, key):
+        def loss_fn(p):
+            wav_pred = voc_lib.apply(p, cfg, batch["mel"])
+            wav_true = batch["wav"][:, : wav_pred.shape[1]]
+            return stft_weight * voc_lib.multi_res_stft_loss(
+                wav_pred, wav_true
+            ) + mel_weight * voc_lib.mel_l1_loss(
+                wav_pred, wav_true, sr, n_fft, hop, cfg.n_mels
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+# ----------------------------------------------------------------------- tokenizer VQ
+
+
+def vq_losses(
+    codebook: jnp.ndarray, pre_vq: jnp.ndarray, frame_mask: jnp.ndarray,
+    beta: float = 0.25,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(codebook_loss, commitment_loss) of the VQ layer. Straight-through
+    gradients: codebook pulls toward encoder outputs, encoder commits to the
+    chosen codes (VQ-VAE objective)."""
+    from ..models.speech_tokenizer import quantize
+
+    tokens = quantize(codebook, jax.lax.stop_gradient(pre_vq))
+    chosen = codebook[tokens]                                   # [B, T, D]
+    m = frame_mask[..., None].astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    cb_loss = jnp.sum(m * (chosen - jax.lax.stop_gradient(pre_vq)) ** 2) / n
+    commit = jnp.sum(m * (jax.lax.stop_gradient(chosen) - pre_vq) ** 2) / n
+    return cb_loss, beta * commit
+
+
+def codebook_usage(tokens: jnp.ndarray, codebook_size: int) -> jnp.ndarray:
+    """Fraction of codebook entries hit in this batch (collapse monitor)."""
+    hits = jnp.zeros((codebook_size,), jnp.int32).at[tokens.reshape(-1)].add(1)
+    return jnp.mean((hits > 0).astype(jnp.float32))
