@@ -149,24 +149,46 @@ class Engine:
 
         self._featurize = featurize
 
-        @partial(jax.jit, static_argnames=("n_frames",))
+        @partial(jax.jit, static_argnames=())
         def mel_cond(
-            tokens: jnp.ndarray,       # [B, T_all] prompt++generated tokens
-            token_len: jnp.ndarray,    # [B]
-            prompt_len: jnp.ndarray,   # [B] prompt token count
-            prompt_mel: jnp.ndarray,   # [B, F_p, M]
-            prompt_mel_len: jnp.ndarray,
+            prompt_tokens: jnp.ndarray,   # [B, fp_w] flow-prompt speech tokens
+            p_lens: jnp.ndarray,          # [B]
+            gen_tokens: jnp.ndarray,      # [B, max_new] LM output (device!)
+            gen_lens: jnp.ndarray,        # [B]
+            prompt_mel: jnp.ndarray,      # [B, F_p, M] right-padded prompt mel
+            mel_lens: jnp.ndarray,        # [B]
             spk: jnp.ndarray,
             key: jax.Array,
-            n_frames: int,
         ):
+            """On-device flow-conditioning assembly + CFM solve: the LM's
+            generated tokens never return to the host (north-star zero host
+            round-trips, SURVEY §7 hard part 5)."""
             up = cfg.cfm.upsample
-            cond = cfm.upsample_tokens(self.params.cfm, tokens, up)[:, :n_frames]
-            B = tokens.shape[0]
+            B, fp_w = prompt_tokens.shape
+            max_new = gen_tokens.shape[1]
+            T_all = fp_w + max_new
+            n_frames = T_all * up
+
+            j = jnp.arange(T_all)[None, :]
+            in_prompt = j < p_lens[:, None]
+            tok_lens = p_lens + gen_lens
+            from_prompt = jnp.take_along_axis(
+                prompt_tokens, jnp.clip(j, 0, fp_w - 1), axis=1
+            )
+            from_gen = jnp.take_along_axis(
+                gen_tokens, jnp.clip(j - p_lens[:, None], 0, max_new - 1), axis=1
+            )
+            tokens = jnp.where(
+                in_prompt, from_prompt,
+                jnp.where(j < tok_lens[:, None], from_gen, 0),
+            )
+
+            cond = cfm.upsample_tokens(self.params.cfm, tokens, up)
             fr = jnp.arange(n_frames)[None, :]
-            frame_mask = (fr < token_len[:, None] * up).astype(jnp.float32)
-            pmask = (fr < prompt_len[:, None] * up).astype(jnp.float32)
-            # place prompt mel in the first frames (clip/pad to prompt region)
+            frame_mask = (fr < tok_lens[:, None] * up).astype(jnp.float32)
+            pmask = (
+                fr < jnp.minimum(p_lens[:, None] * up, mel_lens[:, None])
+            ).astype(jnp.float32)
             M = cfg.cfm.n_mels
             F_p = prompt_mel.shape[1]
             pm = jnp.zeros((B, n_frames, M), prompt_mel.dtype)
@@ -177,7 +199,7 @@ class Engine:
                 self.params.cfm, cfg.cfm, key, cond, spk, pm, pmask, frame_mask,
                 use_cfg=True,
             )
-            return mel, frame_mask, pmask
+            return mel, tok_lens
 
         self._mel_cond = mel_cond
 
@@ -268,48 +290,44 @@ class Engine:
                 gen = token_lm.generate_speech(
                     self.params.token_lm, tl, pre, sub, max_new_tokens=max_new,
                 )
-            gen_tokens = np.asarray(gen.tokens)
-            gen_lens = np.asarray(gen.lengths)
+            gen_tokens, gen_lens = gen.tokens, gen.lengths  # stay on device
         else:
-            gen_lens = np.asarray([len(t) for t in lm_tokens_override], np.int32)
-            max_new = _bucket(int(gen_lens.max()), GEN_BUCKETS)
-            gen_tokens = np.full((B, max_new), tl.speech_pad, np.int32)
+            lens_host = np.asarray([len(t) for t in lm_tokens_override], np.int32)
+            max_new = _bucket(int(lens_host.max()), GEN_BUCKETS)
+            toks_host = np.full((B, max_new), tl.speech_pad, np.int32)
             for i, t in enumerate(lm_tokens_override):
-                gen_tokens[i, : len(t)] = t[:max_new]
+                toks_host[i, : len(t)] = t[:max_new]
+            gen_tokens, gen_lens = jnp.asarray(toks_host), jnp.asarray(lens_host)
             spk = np.stack([f.spk for f in flow_feats])
 
-        # --- flow conditioning: [flow prompt tokens ++ generated tokens]
+        # --- flow prompt side (host: prompt features are already np arrays)
         fp_w = _bucket(max(len(f.tokens) for f in flow_feats), TOKEN_BUCKETS)
-        T_all = fp_w + max_new
-        all_tokens = np.full((B, T_all), 0, np.int32)
-        tok_lens = np.zeros((B,), np.int32)
+        prompt_tokens = np.zeros((B, fp_w), np.int32)
         p_lens = np.zeros((B,), np.int32)
         M = cfg.cfm.n_mels
-        mel24_len = np.zeros((B,), np.int32)
+        mel_lens = np.zeros((B,), np.int32)
         F_p = fp_w * cfg.cfm.upsample
         prompt_mel = np.zeros((B, F_p, M), np.float32)
         for i, f in enumerate(flow_feats):
             n_p = min(len(f.tokens), fp_w)
-            all_tokens[i, :n_p] = f.tokens[:n_p]
-            # clip the flow-prompt mel to exactly n_p * upsample frames
+            prompt_tokens[i, :n_p] = f.tokens[:n_p]
             n_mel = min(f.mel24.shape[0], n_p * cfg.cfm.upsample)
             prompt_mel[i, :n_mel] = f.mel24[:n_mel]
-            mel24_len[i] = n_mel
-            all_tokens[i, n_p : n_p + gen_lens[i]] = gen_tokens[i, : gen_lens[i]]
+            mel_lens[i] = n_mel
             p_lens[i] = n_p
-            tok_lens[i] = n_p + gen_lens[i]
 
-        n_frames = T_all * cfg.cfm.upsample
         self.key, sub = jax.random.split(self.key)
         with self.watch.span("cfm_sample"):
-            mel, frame_mask, pmask = self._mel_cond(
-                jnp.asarray(all_tokens), jnp.asarray(tok_lens), jnp.asarray(p_lens),
-                jnp.asarray(prompt_mel), jnp.asarray(mel24_len), jnp.asarray(spk),
-                sub, n_frames,
+            mel, tok_lens = self._mel_cond(
+                jnp.asarray(prompt_tokens), jnp.asarray(p_lens),
+                gen_tokens, gen_lens,
+                jnp.asarray(prompt_mel), jnp.asarray(mel_lens),
+                jnp.asarray(spk), sub,
             )
         with self.watch.span("vocoder"):
             wav = self._vocode(mel)
-        wav = np.asarray(wav)
+        # SINGLE host sync for the whole batch: fetch wavs + crop bounds
+        wav, tok_lens = np.asarray(wav), np.asarray(tok_lens)
 
         # --- crop per row: drop prompt frames, keep generated region
         hop = self.cfg.audio.hop_length
