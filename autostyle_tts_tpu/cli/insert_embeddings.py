@@ -54,6 +54,10 @@ def main(argv=None) -> None:
     p.add_argument("--db_path", type=str, required=True,
                    help="output snapshot path (npz + meta sidecar)")
     p.add_argument("--capacity", type=int, default=4096)
+    p.add_argument("--style_wav_dir", type=str, default=None,
+                   help="featurize wav_dir/file_id[.wav] at insert time and "
+                        "store speech tokens/mel/spk as DB artifacts so "
+                        "serving needs no wav loads (tts_with_rag --style_db)")
     p.add_argument("--dump_embeddings", type=str, default=None,
                    help="also write a reference-shaped embedding dump JSON "
                         "([{file_id, text, combined_embedding, ...}], like "
@@ -64,7 +68,15 @@ def main(argv=None) -> None:
     embedder = build_embedder(args, cfg)
     samples = load_style_manifests(args.input_json)
     print(f"loaded {len(samples)} style samples from {len(args.input_json)} file(s)")
-    store = build_style_db(embedder, samples, capacity=args.capacity)
+    engine = None
+    if args.style_wav_dir:
+        from .common import build_engine
+
+        engine = build_engine(args)
+    store = build_style_db(
+        embedder, samples, capacity=args.capacity,
+        engine=engine, wav_dir=args.style_wav_dir or "",
+    )
     store.save(args.db_path)
     print(f"inserted {len(store)} vectors (dim {store.dim}); "
           f"self-verify ok; snapshot -> {args.db_path}")

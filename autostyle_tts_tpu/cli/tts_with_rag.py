@@ -46,6 +46,10 @@ def main(argv=None) -> None:
                    help="'w1=/p/w1.wav,m1=/p/m1.wav' or a JSON file")
     p.add_argument("--whisper_timbre", type=str, default=None,
                    help="timbre wav for whisper-flagged turns")
+    p.add_argument("--style_db", type=str, default=None,
+                   help="StyleStore snapshot with precomputed prompt "
+                        "artifacts: style features come from the DB row "
+                        "(retrieved_index) instead of loading the style wav")
     p.add_argument("--is_exp", type=str, default="false")
     p.add_argument("--batch", type=int, default=8)
     args = p.parse_args(argv)
@@ -57,6 +61,11 @@ def main(argv=None) -> None:
     whisper_timbre = (
         load_wav(args.whisper_timbre, sr) if args.whisper_timbre else None
     )
+    style_store = None
+    if args.style_db:
+        from ..retrieval import StyleStore
+
+        style_store = StyleStore.load(args.style_db)
     result_dir = timestamped_dir(args.result_dir)
 
     rows = list(reader)
@@ -67,7 +76,12 @@ def main(argv=None) -> None:
             if r.retrieved_file_id in ("N/A", "Error", ""):
                 print(f"skip row {cnt}: no retrieval result")
                 continue
-            style = load_wav(r.retrieved_file_id, sr)
+            if style_store is not None and r.retrieved_index >= 0:
+                style = engine.prompt_features_from_store(
+                    style_store, [r.retrieved_index]
+                )[0]
+            else:
+                style = load_wav(r.retrieved_file_id, sr)
             if r.whisper and whisper_timbre is not None:
                 timbre = whisper_timbre
                 tname = "whisper"

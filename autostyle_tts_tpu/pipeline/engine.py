@@ -240,6 +240,31 @@ class Engine:
             )
         return out
 
+    def prompt_features_from_store(self, store, indices) -> List[PromptFeatures]:
+        """Pull precomputed prompt features from a StyleStore built with
+        engine artifacts (build_style_db(engine=...)) — no wav loads, no
+        featurization at serving time (SURVEY §7 hard part 5)."""
+        a = store.artifacts
+        required = {"speech_tokens", "speech_token_lens", "prompt_mel",
+                    "prompt_mel_lens", "spk"}
+        if not required <= set(a):
+            raise ValueError(
+                "store has no precomputed prompt artifacts; rebuild with "
+                "insert_embeddings --style_wav_dir or pass wavs explicitly"
+            )
+        out = []
+        for i in indices:
+            n_tok = int(a["speech_token_lens"][i])
+            n_mel = int(a["prompt_mel_lens"][i])
+            out.append(
+                PromptFeatures(
+                    tokens=a["speech_tokens"][i, :n_tok],
+                    spk=a["spk"][i],
+                    mel24=a["prompt_mel"][i, :n_mel],
+                )
+            )
+        return out
+
     # ------------------------------------------------------------------ core synthesis
 
     def _synthesize(
@@ -399,16 +424,23 @@ class Engine:
         self,
         tts_texts: List[str],
         style_texts: List[str],
-        style_wavs: List[np.ndarray],
-        timbre_wavs: List[np.ndarray],
+        style_wavs: List,        # np wav OR precomputed PromptFeatures per item
+        timbre_wavs: List,
         max_seconds: float = 20.0,
     ) -> List[np.ndarray]:
         """Batched tts_with_st: one device program per stage for the whole
-        batch (the reference looped utterance-by-utterance, SURVEY §3.1)."""
-        n = len(tts_texts)
-        feats = self.prompt_features(
-            [np.asarray(w).reshape(-1) for w in style_wavs]
-            + [np.asarray(w).reshape(-1) for w in timbre_wavs]
-        )
-        sty, tim = feats[:n], feats[n:]
+        batch (the reference looped utterance-by-utterance, SURVEY §3.1).
+        Items that are already PromptFeatures (e.g. pulled from a StyleStore
+        with precomputed artifacts) skip featurization entirely."""
+        pending = [
+            (kind, i, np.asarray(w).reshape(-1))
+            for kind, lst in (("sty", style_wavs), ("tim", timbre_wavs))
+            for i, w in enumerate(lst)
+            if not isinstance(w, PromptFeatures)
+        ]
+        feats = self.prompt_features([w for _, _, w in pending]) if pending else []
+        sty = list(style_wavs)
+        tim = list(timbre_wavs)
+        for (kind, i, _), f in zip(pending, feats):
+            (sty if kind == "sty" else tim)[i] = f
         return self._synthesize(tts_texts, style_texts, sty, tim, max_seconds=max_seconds)

@@ -170,11 +170,20 @@ def build_style_db(
     samples: List[StyleSample],
     capacity: int = 4096,
     batch: int = 16,
+    engine=None,
+    wav_dir: str = "",
 ) -> StyleStore:
     """Insert pipeline: group by speaker -> one biography per speaker from the
     speaker's concatenated utterances -> per-utterance emotion label ->
     combined 2*dim embedding -> insert -> self-verify
-    (reference main loop insert_embeddings.py:443-519, verify :544-584)."""
+    (reference main loop insert_embeddings.py:443-519, verify :544-584).
+
+    With `engine`, each sample's style wav (wav_dir/file_id[.wav]) is
+    featurized at insert time and the speech tokens / prompt mel / speaker
+    embedding land in the DB as artifacts — serving then indexes these
+    device-ready caches instead of reloading wavs per query (deliberate
+    divergence from the reference's load-wav-per-query design,
+    tts_with_rag.py:180; SURVEY §7 hard part 5)."""
     by_speaker = group_by_speaker(samples)
     bios: Dict[str, str] = {}
     spk_items = [
@@ -206,6 +215,38 @@ def build_style_db(
         )
     if not store.self_verify():
         raise RuntimeError("style DB self-verification failed (top-1 != self)")
+
+    if engine is not None:
+        from pathlib import Path
+
+        from ..utils.native_audio import load_wav_fast
+
+        sr = engine.cfg.audio.prompt_sample_rate
+        wavs = []
+        for s in samples:
+            fid = s.file_id
+            p = Path(wav_dir) / (fid if fid.endswith(".wav") else fid + ".wav")
+            wavs.append(load_wav_fast(str(p), sr))
+        feats = engine.prompt_features(wavs)
+        T_tok = max(len(f.tokens) for f in feats)
+        F_mel = max(f.mel24.shape[0] for f in feats)
+        M = feats[0].mel24.shape[1]
+        n = len(feats)
+        tokens = np.zeros((n, T_tok), np.int32)
+        tok_lens = np.zeros((n,), np.int32)
+        mels = np.zeros((n, F_mel, M), np.float32)
+        mel_lens = np.zeros((n,), np.int32)
+        spks = np.zeros((n, feats[0].spk.shape[0]), np.float32)
+        for i, f in enumerate(feats):
+            tokens[i, : len(f.tokens)] = f.tokens
+            tok_lens[i] = len(f.tokens)
+            mels[i, : f.mel24.shape[0]] = f.mel24
+            mel_lens[i] = f.mel24.shape[0]
+            spks[i] = f.spk
+        store.artifacts = {
+            "speech_tokens": tokens, "speech_token_lens": tok_lens,
+            "prompt_mel": mels, "prompt_mel_lens": mel_lens, "spk": spks,
+        }
     return store
 
 
@@ -273,6 +314,7 @@ def search_dialog(
                     retrieved_file_id=fid,
                     retrieved_text=h.text,
                     distance=h.distance,
+                    retrieved_index=h.index,
                 )
             )
     return rows

@@ -60,6 +60,10 @@ class StyleStore:
         self.db = jnp.zeros((self.capacity, self.dim), jnp.float32)
         self.valid = jnp.zeros((self.capacity,), bool)
         self.meta: List[Dict[str, Any]] = []
+        # Optional precomputed per-row arrays (speech tokens, prompt mel,
+        # speaker embedding, ...) so serving never reloads style wavs
+        # (SURVEY §7 hard part 5). name -> [N, ...] array aligned with rows.
+        self.artifacts: Dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------------ insert
 
@@ -160,11 +164,13 @@ class StyleStore:
         base = str(path).removesuffix(".npz")
         Path(base).parent.mkdir(parents=True, exist_ok=True)
         n = len(self.meta)
+        arrays = {f"artifact_{k}": v for k, v in self.artifacts.items()}
         np.savez(
             base + ".npz",
             db=np.asarray(self.db[:n]),
             dim=np.int64(self.dim),
             capacity=np.int64(self.capacity),
+            **arrays,
         )
         with open(base + ".meta.json", "w", encoding="utf-8") as f:
             json.dump(self.meta, f, ensure_ascii=False)
@@ -182,6 +188,10 @@ class StyleStore:
                 store.db, store.valid, jnp.asarray(rows), 0
             )
         store.meta = meta
+        store.artifacts = {
+            k[len("artifact_"):]: data[k]
+            for k in data.files if k.startswith("artifact_")
+        }
         return store
 
     # ------------------------------------------------------------------ verification

@@ -59,6 +59,7 @@ class RetrievalRow:
     retrieved_text: str
     distance: float
     whisper: bool = False
+    retrieved_index: int = -1   # DB row (enables the precomputed-artifact path)
 
     @classmethod
     def from_dict(cls, d: dict) -> "RetrievalRow":
@@ -69,6 +70,7 @@ class RetrievalRow:
             retrieved_text=d.get("retrieved_text", ""),
             distance=float(d.get("distance", 0.0)),
             whisper=bool(d.get("whisper", False)),
+            retrieved_index=int(d.get("retrieved_index", -1)),
         )
 
     def to_dict(self) -> dict:
@@ -81,6 +83,8 @@ class RetrievalRow:
         }
         if self.whisper:
             d["whisper"] = True
+        if self.retrieved_index >= 0:
+            d["retrieved_index"] = self.retrieved_index
         return d
 
 
