@@ -181,18 +181,33 @@ def sample_mel(
     x = jax.random.normal(key, (B, Fr, M), jnp.float32)
     dt = 1.0 / cfg.n_steps
 
-    def step(x, i):
-        t = jnp.full((B,), i * dt, jnp.float32)
-        v = vector_field(
-            params, cfg, x, t, token_cond, spk, prompt_mel, prompt_mask, frame_mask
-        )
-        if use_cfg:
-            v_un = vector_field(
-                params, cfg, x, t, jnp.zeros_like(token_cond), spk,
-                prompt_mel, prompt_mask, frame_mask,
+    if use_cfg:
+        # fold the conditional + unconditional branches into ONE 2B-batched
+        # estimator call per step: bigger matmuls for the MXU, half the
+        # kernel launches vs two sequential evals
+        tc2 = jnp.concatenate([token_cond, jnp.zeros_like(token_cond)], axis=0)
+        spk2 = jnp.concatenate([spk, spk], axis=0)
+        pm2 = jnp.concatenate([prompt_mel, prompt_mel], axis=0)
+        pk2 = jnp.concatenate([prompt_mask, prompt_mask], axis=0)
+        fm2 = jnp.concatenate([frame_mask, frame_mask], axis=0)
+
+        def step(x, i):
+            t = jnp.full((2 * B,), i * dt, jnp.float32)
+            v2 = vector_field(
+                params, cfg, jnp.concatenate([x, x], axis=0), t,
+                tc2, spk2, pm2, pk2, fm2,
             )
-            v = (1 + cfg.cfg_scale) * v - cfg.cfg_scale * v_un
-        return x + dt * v, None
+            v = (1 + cfg.cfg_scale) * v2[:B] - cfg.cfg_scale * v2[B:]
+            return x + dt * v, None
+    else:
+
+        def step(x, i):
+            t = jnp.full((B,), i * dt, jnp.float32)
+            v = vector_field(
+                params, cfg, x, t, token_cond, spk, prompt_mel, prompt_mask,
+                frame_mask,
+            )
+            return x + dt * v, None
 
     x, _ = jax.lax.scan(step, x, jnp.arange(cfg.n_steps))
     pm = prompt_mask[..., None]
