@@ -50,7 +50,13 @@ def _dense_init(key, fan_in: int, shape) -> jnp.ndarray:
 
 def init_params(key: jax.Array, cfg: TransformerConfig) -> Params:
     """Layer-stacked param pytree. Names drive the TP sharding rules
-    (parallel/sharding.py): wq/wk/wv/w_gate/w_up column-, wo/w_down row-parallel."""
+    (parallel/sharding.py): wqkv/w_gate_up column-, wo/w_down row-parallel.
+
+    QKV and gate/up are FUSED single matmuls (wqkv [L, D, (H+2K)*hd],
+    w_gate_up [L, D, 2F]) — 5 projections per layer instead of 7; at B=1
+    decode the per-step cost is launch/bandwidth-bound, so fewer, larger
+    matmuls win. Head-sharding stays clean because q|k|v and gate|up are
+    contiguous column groups."""
     keys = jax.random.split(key, 12)
     L, D, F = cfg.n_layers, cfg.dim, cfg.ffn_dim
     H, K, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -58,13 +64,10 @@ def init_params(key: jax.Array, cfg: TransformerConfig) -> Params:
         "tok_emb": _dense_init(keys[0], D, (cfg.vocab_size, D)),
         "layers": {
             "attn_norm": jnp.ones((L, D), jnp.float32),
-            "wq": _dense_init(keys[1], D, (L, D, H * hd)),
-            "wk": _dense_init(keys[2], D, (L, D, K * hd)),
-            "wv": _dense_init(keys[3], D, (L, D, K * hd)),
+            "wqkv": _dense_init(keys[1], D, (L, D, (H + 2 * K) * hd)),
             "wo": _dense_init(keys[4], H * hd, (L, H * hd, D)),
             "mlp_norm": jnp.ones((L, D), jnp.float32),
-            "w_gate": _dense_init(keys[5], D, (L, D, F)),
-            "w_up": _dense_init(keys[6], D, (L, D, F)),
+            "w_gate_up": _dense_init(keys[5], D, (L, D, 2 * F)),
             "w_down": _dense_init(keys[7], F, (L, F, D)),
         },
         "final_norm": jnp.ones((D,), jnp.float32),
@@ -89,8 +92,10 @@ def init_lora(key: jax.Array, cfg: TransformerConfig, r: int) -> Params:
         )
 
     names_shapes = {
-        "wq": (D, H * hd), "wk": (D, K * hd), "wv": (D, K * hd),
-        "wo": (H * hd, D), "w_gate": (D, F), "w_up": (D, F), "w_down": (F, D),
+        "wqkv": (D, (H + 2 * K) * hd),
+        "wo": (H * hd, D),
+        "w_gate_up": (D, 2 * F),
+        "w_down": (F, D),
     }
     lora: Params = {"layers": {}}
     for i, (name, (fi, fo)) in enumerate(names_shapes.items()):
@@ -163,9 +168,11 @@ def _layer(
         return (lora[name + "_lora_a"], lora[name + "_lora_b"])
 
     x = rmsnorm(h, lp["attn_norm"], cfg.norm_eps)
-    q = _proj(x, lp["wq"], *g("wq"), lora_scale).reshape(B, T, H, hd)
-    k = _proj(x, lp["wk"], *g("wk"), lora_scale).reshape(B, T, K, hd)
-    v = _proj(x, lp["wv"], *g("wv"), lora_scale).reshape(B, T, K, hd)
+    qkv = _proj(x, lp["wqkv"], *g("wqkv"), lora_scale)
+    q, k, v = jnp.split(qkv, [H * hd, (H + K) * hd], axis=-1)
+    q = q.reshape(B, T, H, hd)
+    k = k.reshape(B, T, K, hd)
+    v = v.reshape(B, T, K, hd)
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
 
@@ -194,8 +201,8 @@ def _layer(
     h = h + _proj(attn, lp["wo"], *g("wo"), lora_scale)
 
     x = rmsnorm(h, lp["mlp_norm"], cfg.norm_eps)
-    gate = _proj(x, lp["w_gate"], *g("w_gate"), lora_scale)
-    up = _proj(x, lp["w_up"], *g("w_up"), lora_scale)
+    gate_up = _proj(x, lp["w_gate_up"], *g("w_gate_up"), lora_scale)
+    gate, up = jnp.split(gate_up, 2, axis=-1)
     h = h + _proj(jax.nn.silu(gate) * up, lp["w_down"], *g("w_down"), lora_scale)
     return h, new_cache
 

@@ -53,8 +53,8 @@ def qlookup(t: QTensor, idx: jnp.ndarray) -> jnp.ndarray:
     return t.q[idx].astype(jnp.float32) * t.s[idx]
 
 
-_QUANT_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
-                "lm_head", "speech_head")
+_QUANT_NAMES = ("wqkv", "wq", "wk", "wv", "wo", "w_gate_up", "w_gate", "w_up",
+                "w_down", "lm_head", "speech_head")
 
 
 def quantize_tree(params: Dict, names: Tuple[str, ...] = _QUANT_NAMES) -> Dict:

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, MODEL_AXIS
 
-_COL = re.compile(r"(wq|wk|wv|w_gate|w_up)$")
+_COL = re.compile(r"(wqkv|wq|wk|wv|w_gate_up|w_gate|w_up)$")
 _ROW = re.compile(r"(wo|w_down)$")
 
 

@@ -42,9 +42,10 @@ def test_quantize_tree_stacked_layers():
     params = tfm.init_params(jax.random.PRNGKey(0), cfg)
     qparams = quant.quantize_tree(params)
     # projections quantized, embeddings/norms untouched
-    assert isinstance(qparams["layers"]["wq"], quant.QTensor)
-    assert qparams["layers"]["wq"].q.dtype == jnp.int8
-    assert qparams["layers"]["wq"].s.shape == (3, 1, 32)  # per-layer per-channel
+    assert isinstance(qparams["layers"]["wqkv"], quant.QTensor)
+    assert qparams["layers"]["wqkv"].q.dtype == jnp.int8
+    # per-layer, per-output-channel scales over the fused (H+2K)*hd columns
+    assert qparams["layers"]["wqkv"].s.shape == (3, 1, (4 + 2 * 2) * 8)
     assert not isinstance(qparams["tok_emb"], quant.QTensor)
     assert quant.tree_bytes(qparams) < 0.55 * quant.tree_bytes(params)
 

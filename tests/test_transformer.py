@@ -138,8 +138,8 @@ def test_lora_zero_b_is_identity_and_train_path_differs(setup):
     with_lora = tfm.forward(params, cfg, tokens, lora=lora, lora_scale=2.0).logits
     np.testing.assert_allclose(np.asarray(base), np.asarray(with_lora), atol=1e-6)
     # perturb B -> output changes
-    lora["layers"]["wq_lora_b"] = (
-        lora["layers"]["wq_lora_b"] + 0.1
+    lora["layers"]["wqkv_lora_b"] = (
+        lora["layers"]["wqkv_lora_b"] + 0.1
     )
     changed = tfm.forward(params, cfg, tokens, lora=lora, lora_scale=2.0).logits
     assert np.abs(np.asarray(changed) - np.asarray(base)).max() > 1e-4
