@@ -108,6 +108,48 @@ def make_vocoder_step(
     return step
 
 
+# ----------------------------------------------------------------------- vocoder GAN
+
+
+def make_vocoder_gan_steps(
+    cfg: VocoderConfig, gen_opt, disc_opt, sr: int, n_fft: int, hop: int,
+    adv_weight: float = 1.0, fm_weight: float = 2.0, mel_weight: float = 45.0,
+):
+    """(generator_step, discriminator_step) — the full HiFi-GAN recipe:
+    LSGAN adversarial + feature matching + mel L1 for G; LSGAN for D.
+    Alternate D then G per batch (standard schedule)."""
+    from ..models import discriminator as disc_lib
+
+    @partial(jax.jit, donate_argnames=("d_params", "d_opt_state"))
+    def disc_step(d_params, d_opt_state, g_params, batch, key):
+        fake = jax.lax.stop_gradient(voc_lib.apply(g_params, cfg, batch["mel"]))
+        real = batch["wav"][:, : fake.shape[1]]
+
+        def loss_fn(dp):
+            return disc_lib.discriminator_loss(dp, real, fake)
+
+        loss, grads = jax.value_and_grad(loss_fn)(d_params)
+        updates, d_opt_state = disc_opt.update(grads, d_opt_state, d_params)
+        return optax.apply_updates(d_params, updates), d_opt_state, loss
+
+    @partial(jax.jit, donate_argnames=("g_params", "g_opt_state"))
+    def gen_step(g_params, g_opt_state, d_params, batch, key):
+        real = batch["wav"]
+
+        def loss_fn(gp):
+            fake = voc_lib.apply(gp, cfg, batch["mel"])
+            r = real[:, : fake.shape[1]]
+            adv, fm = disc_lib.generator_adversarial_losses(d_params, r, fake)
+            mel = voc_lib.mel_l1_loss(fake, r, sr, n_fft, hop, cfg.n_mels)
+            return adv_weight * adv + fm_weight * fm + mel_weight * mel
+
+        loss, grads = jax.value_and_grad(loss_fn)(g_params)
+        updates, g_opt_state = gen_opt.update(grads, g_opt_state, g_params)
+        return optax.apply_updates(g_params, updates), g_opt_state, loss
+
+    return gen_step, disc_step
+
+
 # ----------------------------------------------------------------------- tokenizer VQ
 
 
