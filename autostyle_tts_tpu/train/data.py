@@ -1,0 +1,152 @@
+"""Acoustic training data pipeline: (wav, text) manifests -> device batches.
+
+The reference had no synthesis-training data path at all (it consumed a
+pretrained CosyVoice; SURVEY §0). This module closes the loop: a manifest of
+{"wav": path, "text": str[, "speaker": str]} rows is decoded/resampled by the
+native C++ batch loader (utils/native_audio.py, Python fallback), featurized
+once by the engine's jitted featurizer (speech tokens @25 Hz, 24 kHz mel,
+speaker embedding), and assembled into the exact batch dicts the
+train/acoustic.py steps consume:
+
+- token LM:  text tokens + style-prompt tokens (the utterance's own first
+  `prompt_seconds`) -> continuation targets (zero-shot TTS objective)
+- CFM:       full token sequence -> mel regression with the prompt region given
+- vocoder:   mel -> waveform pairs
+
+Everything is padded to static bucket shapes so repeated epochs reuse one
+compiled step.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..models import frontend
+from ..utils.manifest import read_json, read_jsonl
+
+
+@dataclass
+class AcousticItem:
+    wav_path: str
+    text: str
+    speaker: str = ""
+
+
+def load_acoustic_manifest(path: str, wav_dir: str = "") -> List[AcousticItem]:
+    """JSON list or JSONL of {wav|wav_path|file_id, text|zh_text[, speaker]}."""
+    p = Path(path)
+    rows = read_jsonl(p) if p.suffix == ".jsonl" else read_json(p)
+    if isinstance(rows, dict):
+        rows = list(rows.values())
+    items = []
+    for r in rows:
+        wav = r.get("wav") or r.get("wav_path") or r.get("file_id", "")
+        if wav_dir:
+            wav = str(Path(wav_dir) / (wav if wav.endswith(".wav") else wav + ".wav"))
+        items.append(
+            AcousticItem(
+                wav_path=wav,
+                text=r.get("text", r.get("zh_text", "")),
+                speaker=str(r.get("speaker", "")),
+            )
+        )
+    return items
+
+
+def _load_wavs(paths: List[str], target_sr: int) -> List[np.ndarray]:
+    from ..utils.native_audio import load_wav_fast
+
+    return [load_wav_fast(p, target_sr) for p in paths]
+
+
+def make_acoustic_batches(
+    engine,
+    items: List[AcousticItem],
+    batch_size: int,
+    prompt_seconds: float = 3.0,
+    text_width: int = 128,
+    seed: int = 0,
+    shuffle: bool = True,
+) -> Iterator[Dict[str, Dict]]:
+    """Yields {"token_lm": ..., "cfm": ..., "vocoder": ...} batch dicts."""
+    import jax.numpy as jnp
+
+    cfg = engine.cfg
+    a = cfg.audio
+    rate = cfg.token_lm.token_rate
+    prompt_tokens_n = int(prompt_seconds * rate)
+    up = cfg.cfm.upsample
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(items)) if shuffle else np.arange(len(items))
+    for s0 in range(0, len(order) - batch_size + 1, batch_size):
+        idx = order[s0 : s0 + batch_size]
+        chunk = [items[i] for i in idx]
+        wavs = _load_wavs([c.wav_path for c in chunk], a.prompt_sample_rate)
+        feats = engine.prompt_features(wavs)
+        B = len(chunk)
+
+        text_ids, text_lens = frontend.encode_batch(
+            [c.text for c in chunk], width=text_width
+        )
+
+        T_tok = max(len(f.tokens) for f in feats)
+        tokens = np.zeros((B, T_tok), np.int32)
+        tok_lens = np.zeros((B,), np.int32)
+        F = T_tok * up
+        M = cfg.cfm.n_mels
+        mel = np.zeros((B, F, M), np.float32)
+        spk = np.zeros((B, feats[0].spk.shape[0]), np.float32)
+        prompt_mask = np.zeros((B, F), np.float32)
+        frame_mask = np.zeros((B, F), np.float32)
+        sty = np.zeros((B, min(prompt_tokens_n, T_tok)), np.int32)
+        sty_lens = np.zeros((B,), np.int32)
+        tgt_w = max(T_tok - prompt_tokens_n, 1)
+        targets = np.zeros((B, tgt_w), np.int32)
+        tgt_lens = np.zeros((B,), np.int32)
+        for i, f in enumerate(feats):
+            n = len(f.tokens)
+            tokens[i, :n] = f.tokens
+            tok_lens[i] = n
+            nm = min(f.mel24.shape[0], n * up)
+            mel[i, :nm] = f.mel24[:nm]
+            spk[i] = f.spk
+            n_p = min(prompt_tokens_n, max(n // 2, 1))
+            prompt_mask[i, : n_p * up] = 1.0
+            frame_mask[i, : n * up] = 1.0
+            sty[i, :n_p] = f.tokens[:n_p]
+            sty_lens[i] = n_p
+            n_t = min(n - n_p, tgt_w)
+            targets[i, :n_t] = f.tokens[n_p : n_p + n_t]
+            tgt_lens[i] = n_t
+
+        # 24 kHz waveform aligned to the mel frames (vocoder pairs)
+        wav24_len = F * a.hop_length
+        wav24 = np.zeros((B, wav24_len), np.float32)
+        from ..ops.resample import resample_poly_np
+
+        for i, w in enumerate(wavs):
+            w24 = resample_poly_np(w, a.prompt_sample_rate, a.sample_rate)
+            m = min(len(w24), wav24_len)
+            wav24[i, :m] = w24[:m]
+
+        yield {
+            "token_lm": {
+                "text": jnp.asarray(text_ids), "text_len": jnp.asarray(text_lens),
+                "style_tokens": jnp.asarray(sty), "style_len": jnp.asarray(sty_lens),
+                "spk": jnp.asarray(spk),
+                "targets": jnp.asarray(targets), "target_len": jnp.asarray(tgt_lens),
+            },
+            "cfm": {
+                "tokens": jnp.asarray(tokens), "mel": jnp.asarray(mel),
+                "spk": jnp.asarray(spk),
+                "prompt_mask": jnp.asarray(prompt_mask),
+                "frame_mask": jnp.asarray(frame_mask),
+            },
+            "vocoder": {"mel": jnp.asarray(mel), "wav": jnp.asarray(wav24)},
+        }
