@@ -67,12 +67,33 @@ def main() -> None:
     audio_s = wav.shape[1] / cfg.audio.sample_rate
 
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         wav = run()
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
+    best = float(np.min(times))
     rtf = p50 / max(audio_s, 1e-9)
+
+    # secondary: batched serving throughput (8 utterances per device program)
+    texts8 = [text] * 8
+    stexts8 = [style_text] * 8
+    styles8 = [style] * 8
+    timbres8 = [timbre] * 8
+
+    def run8():
+        return engine.synthesize_batch(texts8, stexts8, styles8, timbres8,
+                                       max_seconds=5.0)
+    wavs8 = run8()  # warmup/compile
+    batch_audio_s = sum(len(w) for w in wavs8) / cfg.audio.sample_rate
+    t8 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        wavs8 = run8()
+        t8.append(time.perf_counter() - t0)
+    t8_med = float(np.median(t8))
+    batch_rtf = t8_med / max(batch_audio_s, 1e-9)
+    batch_utt_per_s = 8 / t8_med
 
     # secondary: retrieval QPS at 1k styles x 6144 dims (BASELINE.md target)
     from autostyle_tts_tpu.retrieval import StyleStore
@@ -100,7 +121,10 @@ def main() -> None:
                 "extra": {
                     "audio_seconds": round(audio_s, 3),
                     "rtf": round(rtf, 4),
+                    "best_latency_s": round(best, 4),
                     "retrieval_qps_1k_styles_top5": round(retrieval_qps, 1),
+                    "batch8_utt_per_s": round(batch_utt_per_s, 2),
+                    "batch8_rtf": round(batch_rtf, 4),
                     "device": str(jax.devices()[0]),
                     "stage_p50_ms": {
                         k: round(v["p50_s"] * 1e3, 1)
