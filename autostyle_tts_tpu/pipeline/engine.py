@@ -363,6 +363,101 @@ class Engine:
             out.append(wav[i, s:e].astype(np.float32))
         return out
 
+    # ------------------------------------------------------------------ streaming
+
+    def _synthesize_stream(
+        self,
+        text: str,
+        style_text: str,
+        style_feat: PromptFeatures,
+        flow_feat: PromptFeatures,
+        chunk_tokens: int = 25,          # 1 s of audio per chunk @ 25 Hz
+        max_seconds: float = 20.0,
+    ) -> Iterator[np.ndarray]:
+        """Chunked emission: the LM runs once (it is fast), then the CFM
+        solves and the vocoder renders CHUNK-sized windows incrementally —
+        each chunk in-paints against the previously emitted mel (prompt-mask
+        grows, shapes stay fixed, so every chunk reuses one compiled program).
+        First-audio latency ~= LM + one chunk instead of the full utterance.
+
+        The reference's stream flag existed but its engine was used
+        stream=False-only (SURVEY §2.3.1 API rows); this is a TPU-native
+        streaming implementation of the same iterator contract."""
+        cfg = self.cfg
+        tl = cfg.token_lm
+        up = cfg.cfm.upsample
+        hop = cfg.audio.hop_length
+
+        full_text = (style_text + " " + text).strip() if style_text else text
+        text_ids, text_lens = frontend.encode_batch(
+            [full_text], width=_bucket(len(frontend.encode(full_text)), TEXT_BUCKETS)
+        )
+        sty_w = _bucket(len(style_feat.tokens), TOKEN_BUCKETS)
+        sty = np.zeros((1, sty_w), np.int32)
+        n_sty = min(len(style_feat.tokens), sty_w)
+        sty[0, :n_sty] = style_feat.tokens[:n_sty]
+        max_new = _bucket(int(max_seconds * tl.token_rate), GEN_BUCKETS)
+        pre = token_lm.build_prefix(
+            self.params.token_lm, tl,
+            jnp.asarray(text_ids), jnp.asarray(text_lens),
+            jnp.asarray(sty), jnp.asarray([n_sty], np.int32),
+            jnp.asarray(flow_feat.spk[None]),
+        )
+        pre = token_lm.pad_prefix(pre)
+        self.key, sub = jax.random.split(self.key)
+        with self.watch.span("lm_generate"):
+            gen = token_lm.generate_speech(
+                self.params.token_lm, tl, pre, sub, max_new_tokens=max_new,
+            )
+        gen_len = int(gen.lengths[0])  # one sync; bounds the chunk loop
+
+        fp_w = _bucket(len(flow_feat.tokens), TOKEN_BUCKETS)
+        n_p = min(len(flow_feat.tokens), fp_w)
+        prompt_tokens = np.zeros((1, fp_w), np.int32)
+        prompt_tokens[0, :n_p] = flow_feat.tokens[:n_p]
+        T_all = fp_w + max_new
+        n_frames = T_all * up
+        M = cfg.cfm.n_mels
+        pm = jnp.zeros((1, n_frames, M), jnp.float32)
+        n_mel = min(flow_feat.mel24.shape[0], n_p * up)
+        pm = pm.at[0, :n_mel].set(jnp.asarray(flow_feat.mel24[:n_mel]))
+        spk = jnp.asarray(flow_feat.spk[None])
+
+        # full conditioning once (tokens are all known after the LM pass)
+        j = jnp.arange(T_all)[None, :]
+        from_prompt = jnp.take_along_axis(
+            jnp.asarray(prompt_tokens), jnp.clip(j, 0, fp_w - 1), axis=1
+        )
+        from_gen = jnp.take_along_axis(
+            gen.tokens, jnp.clip(j - n_p, 0, max_new - 1), axis=1
+        )
+        tokens = jnp.where(
+            j < n_p, from_prompt,
+            jnp.where(j < n_p + gen_len, from_gen, 0),
+        )
+        cond = cfm.upsample_tokens(self.params.cfm, tokens, up)
+        fr = jnp.arange(n_frames)[None, :]
+        frame_mask = (fr < (n_p + gen_len) * up).astype(jnp.float32)
+
+        emitted = n_p
+        while emitted < n_p + gen_len:
+            upto = min(emitted + chunk_tokens, n_p + gen_len)
+            pmask = (fr < emitted * up).astype(jnp.float32)
+            self.key, sub = jax.random.split(self.key)
+            with self.watch.span("cfm_chunk"):
+                mel = cfm.sample_mel(
+                    self.params.cfm, cfg.cfm, sub, cond, spk,
+                    pm * pmask[..., None], pmask, frame_mask, use_cfg=True,
+                )
+            with self.watch.span("vocoder_chunk"):
+                wav = self._vocode(mel)
+            # keep generated frames as the next chunk's given context
+            keep = (fr < upto * up)[..., None]
+            pm = jnp.where(keep, mel, pm)
+            chunk = np.asarray(wav[0, emitted * up * hop : upto * up * hop])
+            emitted = upto
+            yield chunk.astype(np.float32)
+
     # ------------------------------------------------------------------ public API
 
     def inference_zero_shot(
@@ -370,8 +465,14 @@ class Engine:
         stream: bool = False,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Zero-shot TTS: one wav supplies both prosody and identity
-        (reference: basic.py:15-16)."""
+        (reference: basic.py:15-16). stream=True yields ~1 s chunks."""
         feats = self.prompt_features([np.asarray(prompt_speech_16k).reshape(-1)])
+        if stream:
+            for chunk in self._synthesize_stream(
+                tts_text, prompt_text, feats[0], feats[0]
+            ):
+                yield {"tts_speech": chunk[None, :]}
+            return
         wavs = self._synthesize([tts_text], [prompt_text], feats, feats)
         yield {"tts_speech": wavs[0][None, :]}
 
@@ -396,11 +497,16 @@ class Engine:
         style_wav: np.ndarray, timbre_wav: np.ndarray, stream: bool = False,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Style/timbre-split synthesis — the project's custom API
-        (reference call sites vc_from_dir.py:198, tts_with_rag.py:195)."""
+        (reference call sites vc_from_dir.py:198, tts_with_rag.py:195).
+        stream=True yields ~1 s chunks (first audio after LM + one chunk)."""
         feats = self.prompt_features(
             [np.asarray(style_wav).reshape(-1), np.asarray(timbre_wav).reshape(-1)]
         )
         sty, tim = feats
+        if stream:
+            for chunk in self._synthesize_stream(tts_text, style_wav_text, sty, tim):
+                yield {"tts_speech": chunk[None, :]}
+            return
         wavs = self._synthesize([tts_text], [style_wav_text], [sty], [tim])
         yield {"tts_speech": wavs[0][None, :]}
 
