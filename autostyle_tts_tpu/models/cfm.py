@@ -77,6 +77,16 @@ def _ln(x, eps=1e-6):
     return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+def _frame_pos_embed(positions: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Fixed sinusoidal embedding of absolute frame positions [B, F] -> [B, F, dim].
+    Absolute (not relative) so windowed/streaming solves see consistent
+    coordinates with the full-utterance solve."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half) / half)
+    ang = positions[..., None].astype(jnp.float32) * freqs
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
 def vector_field(
     params: Params,
     cfg: CFMConfig,
@@ -87,12 +97,16 @@ def vector_field(
     prompt_mel: jnp.ndarray,     # [B, F, M] prompt frames (0 beyond prompt_len)
     prompt_mask: jnp.ndarray,    # [B, F] 1 = prompt frame
     frame_mask: jnp.ndarray,     # [B, F] 1 = real frame
+    positions: Optional[jnp.ndarray] = None,  # [B, F] absolute frame indices
 ) -> jnp.ndarray:
     B, Fr, M = x_t.shape
     D = cfg.dim
     h = jnp.concatenate([x_t, prompt_mel, prompt_mask[..., None]], axis=-1)
     h = h @ params["in_proj"]
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(Fr)[None, :], (B, Fr))
     h = h + token_cond + (spk @ params["spk_proj"])[:, None, :]
+    h = h + _frame_pos_embed(positions, D).astype(h.dtype)
     temb = jax.nn.silu(_t_embed(t) @ params["t_proj1"]) @ params["t_proj2"]  # [B, D]
 
     n_heads = cfg.n_heads
@@ -173,6 +187,7 @@ def sample_mel(
     prompt_mask: jnp.ndarray,    # [B, F]
     frame_mask: jnp.ndarray,     # [B, F]
     use_cfg: bool = True,
+    positions: Optional[jnp.ndarray] = None,   # [B, F] absolute frame indices
 ) -> jnp.ndarray:
     """Fixed-step Euler ODE solve, t: 0 -> 1, n_steps static. One jit.
     Returns [B, F, M]; prompt frames are overwritten with the given mel."""
@@ -180,6 +195,8 @@ def sample_mel(
     M = cfg.n_mels
     x = jax.random.normal(key, (B, Fr, M), jnp.float32)
     dt = 1.0 / cfg.n_steps
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(Fr)[None, :], (B, Fr))
 
     if use_cfg:
         # fold the conditional + unconditional branches into ONE 2B-batched
@@ -190,12 +207,13 @@ def sample_mel(
         pm2 = jnp.concatenate([prompt_mel, prompt_mel], axis=0)
         pk2 = jnp.concatenate([prompt_mask, prompt_mask], axis=0)
         fm2 = jnp.concatenate([frame_mask, frame_mask], axis=0)
+        pos2 = jnp.concatenate([positions, positions], axis=0)
 
         def step(x, i):
             t = jnp.full((2 * B,), i * dt, jnp.float32)
             v2 = vector_field(
                 params, cfg, jnp.concatenate([x, x], axis=0), t,
-                tc2, spk2, pm2, pk2, fm2,
+                tc2, spk2, pm2, pk2, fm2, pos2,
             )
             v = (1 + cfg.cfg_scale) * v2[:B] - cfg.cfg_scale * v2[B:]
             return x + dt * v, None
@@ -205,7 +223,7 @@ def sample_mel(
             t = jnp.full((B,), i * dt, jnp.float32)
             v = vector_field(
                 params, cfg, x, t, token_cond, spk, prompt_mel, prompt_mask,
-                frame_mask,
+                frame_mask, positions,
             )
             return x + dt * v, None
 

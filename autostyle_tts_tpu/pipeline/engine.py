@@ -105,6 +105,10 @@ class Engine:
         seed: int = 0,
         profile: bool = False,
     ):
+        assert vocoder.total_upsample(cfg.vocoder) == cfg.audio.hop_length, (
+            "prod(vocoder.upsample_rates) must equal audio.hop_length so mel "
+            "frames map 1:1 onto output samples (waveform crops rely on it)"
+        )
         self.cfg = cfg
         self.params = params or EngineParams.init(jax.random.PRNGKey(seed), cfg)
         if cfg.quantize_lm_int8:
@@ -265,6 +269,51 @@ class Engine:
             )
         return out
 
+    # ------------------------------------------------------------------ LM stage
+
+    def _lm_stage(
+        self,
+        texts: List[str],
+        style_texts: List[str],
+        style_feats: List[PromptFeatures],
+        spk: np.ndarray,
+        languages: Optional[List[Optional[str]]],
+        max_seconds: float,
+    ):
+        """Shared token-LM stage: (gen_tokens [B, max_new] DEVICE,
+        gen_lens [B] DEVICE, max_new)."""
+        tl = self.cfg.token_lm
+        B = len(texts)
+        full_texts = [
+            (st + " " + tx).strip() if st else tx
+            for st, tx in zip(style_texts, texts)
+        ]
+        text_ids, text_lens = frontend.encode_batch(
+            full_texts, languages, width=_bucket(
+                max(len(frontend.encode(t)) for t in full_texts), TEXT_BUCKETS
+            ),
+        )
+        sty_w = _bucket(max(len(f.tokens) for f in style_feats), TOKEN_BUCKETS)
+        sty = np.zeros((B, sty_w), np.int32)
+        sty_lens = np.zeros((B,), np.int32)
+        for i, f in enumerate(style_feats):
+            n = min(len(f.tokens), sty_w)
+            sty[i, :n] = f.tokens[:n]
+            sty_lens[i] = n
+        max_new = _bucket(int(max_seconds * tl.token_rate), GEN_BUCKETS)
+        with self.watch.span("lm_generate"):
+            pre = token_lm.build_prefix(
+                self.params.token_lm, tl,
+                jnp.asarray(text_ids), jnp.asarray(text_lens),
+                jnp.asarray(sty), jnp.asarray(sty_lens), jnp.asarray(spk),
+            )
+            pre = token_lm.pad_prefix(pre)  # flash prefill block alignment
+            self.key, sub = jax.random.split(self.key)
+            gen = token_lm.generate_speech(
+                self.params.token_lm, tl, pre, sub, max_new_tokens=max_new,
+            )
+        return gen.tokens, gen.lengths, max_new
+
     # ------------------------------------------------------------------ core synthesis
 
     def _synthesize(
@@ -285,37 +334,11 @@ class Engine:
         B = len(texts)
 
         # --- token LM (or override)
+        spk = np.stack([f.spk for f in flow_feats])
         if lm_tokens_override is None:
-            full_texts = [
-                (st + " " + tx).strip() if st else tx
-                for st, tx in zip(style_texts, texts)
-            ]
-            text_ids, text_lens = frontend.encode_batch(
-                full_texts, languages, width=_bucket(
-                    max(len(frontend.encode(t)) for t in full_texts), TEXT_BUCKETS
-                ),
+            gen_tokens, gen_lens, max_new = self._lm_stage(
+                texts, style_texts, style_feats, spk, languages, max_seconds
             )
-            sty_w = _bucket(max(len(f.tokens) for f in style_feats), TOKEN_BUCKETS)
-            sty = np.zeros((B, sty_w), np.int32)
-            sty_lens = np.zeros((B,), np.int32)
-            for i, f in enumerate(style_feats):
-                n = min(len(f.tokens), sty_w)
-                sty[i, :n] = f.tokens[:n]
-                sty_lens[i] = n
-            spk = np.stack([f.spk for f in flow_feats])
-            max_new = _bucket(int(max_seconds * tl.token_rate), GEN_BUCKETS)
-            with self.watch.span("lm_generate"):
-                pre = token_lm.build_prefix(
-                    self.params.token_lm, tl,
-                    jnp.asarray(text_ids), jnp.asarray(text_lens),
-                    jnp.asarray(sty), jnp.asarray(sty_lens), jnp.asarray(spk),
-                )
-                pre = token_lm.pad_prefix(pre)  # flash prefill block alignment
-                self.key, sub = jax.random.split(self.key)
-                gen = token_lm.generate_speech(
-                    self.params.token_lm, tl, pre, sub, max_new_tokens=max_new,
-                )
-            gen_tokens, gen_lens = gen.tokens, gen.lengths  # stay on device
         else:
             lens_host = np.asarray([len(t) for t in lm_tokens_override], np.int32)
             max_new = _bucket(int(lens_host.max()), GEN_BUCKETS)
@@ -323,7 +346,6 @@ class Engine:
             for i, t in enumerate(lm_tokens_override):
                 toks_host[i, : len(t)] = t[:max_new]
             gen_tokens, gen_lens = jnp.asarray(toks_host), jnp.asarray(lens_host)
-            spk = np.stack([f.spk for f in flow_feats])
 
         # --- flow prompt side (host: prompt features are already np arrays)
         fp_w = _bucket(max(len(f.tokens) for f in flow_feats), TOKEN_BUCKETS)
@@ -369,93 +391,112 @@ class Engine:
         self,
         text: str,
         style_text: str,
-        style_feat: PromptFeatures,
+        style_feat: Optional[PromptFeatures],
         flow_feat: PromptFeatures,
-        chunk_tokens: int = 25,          # 1 s of audio per chunk @ 25 Hz
+        chunk_tokens: Optional[int] = None,      # default: 1 s (= token_rate)
         max_seconds: float = 20.0,
+        lm_tokens_override: Optional[np.ndarray] = None,
     ) -> Iterator[np.ndarray]:
-        """Chunked emission: the LM runs once (it is fast), then the CFM
-        solves and the vocoder renders CHUNK-sized windows incrementally —
-        each chunk in-paints against the previously emitted mel (prompt-mask
-        grows, shapes stay fixed, so every chunk reuses one compiled program).
-        First-audio latency ~= LM + one chunk instead of the full utterance.
+        """Chunked emission over a FIXED sliding window. The LM runs once (it
+        is fast); then each chunk solves the CFM over
+        [flow prompt | left mel context | chunk] only — a constant-size
+        program (compiled once, reused every chunk) whose cost is
+        window/utterance of the full solve, so time-to-first-audio is
+        LM + one window instead of the whole utterance. The left context is
+        previously emitted mel passed as given (in-painting), and the vocoder
+        renders the same window so its receptive field sees the real past —
+        chunk seams stay continuous. Frame positions are ABSOLUTE so the
+        windowed solve sees the same coordinates as the full solve.
 
-        The reference's stream flag existed but its engine was used
-        stream=False-only (SURVEY §2.3.1 API rows); this is a TPU-native
-        streaming implementation of the same iterator contract."""
+        The reference's engine was used stream=False-only (SURVEY §2.3.1 API
+        rows); this is a TPU-native streaming path for the same contract."""
         cfg = self.cfg
         tl = cfg.token_lm
         up = cfg.cfm.upsample
         hop = cfg.audio.hop_length
+        chunk_tokens = chunk_tokens or tl.token_rate
+        ctx_tokens = chunk_tokens  # left mel context = one chunk
 
-        full_text = (style_text + " " + text).strip() if style_text else text
-        text_ids, text_lens = frontend.encode_batch(
-            [full_text], width=_bucket(len(frontend.encode(full_text)), TEXT_BUCKETS)
-        )
-        sty_w = _bucket(len(style_feat.tokens), TOKEN_BUCKETS)
-        sty = np.zeros((1, sty_w), np.int32)
-        n_sty = min(len(style_feat.tokens), sty_w)
-        sty[0, :n_sty] = style_feat.tokens[:n_sty]
-        max_new = _bucket(int(max_seconds * tl.token_rate), GEN_BUCKETS)
-        pre = token_lm.build_prefix(
-            self.params.token_lm, tl,
-            jnp.asarray(text_ids), jnp.asarray(text_lens),
-            jnp.asarray(sty), jnp.asarray([n_sty], np.int32),
-            jnp.asarray(flow_feat.spk[None]),
-        )
-        pre = token_lm.pad_prefix(pre)
-        self.key, sub = jax.random.split(self.key)
-        with self.watch.span("lm_generate"):
-            gen = token_lm.generate_speech(
-                self.params.token_lm, tl, pre, sub, max_new_tokens=max_new,
+        if lm_tokens_override is None:
+            gen_tokens_d, gen_lens_d, _ = self._lm_stage(
+                [text], [style_text], [style_feat], flow_feat.spk[None],
+                None, max_seconds,
             )
-        gen_len = int(gen.lengths[0])  # one sync; bounds the chunk loop
+            gen_tokens = np.asarray(gen_tokens_d)[0]
+            gen_len = int(np.asarray(gen_lens_d)[0])
+        else:
+            gen_tokens = np.asarray(lm_tokens_override, np.int32)
+            gen_len = len(gen_tokens)
 
         fp_w = _bucket(len(flow_feat.tokens), TOKEN_BUCKETS)
         n_p = min(len(flow_feat.tokens), fp_w)
-        prompt_tokens = np.zeros((1, fp_w), np.int32)
-        prompt_tokens[0, :n_p] = flow_feat.tokens[:n_p]
-        T_all = fp_w + max_new
-        n_frames = T_all * up
-        M = cfg.cfm.n_mels
-        pm = jnp.zeros((1, n_frames, M), jnp.float32)
         n_mel = min(flow_feat.mel24.shape[0], n_p * up)
-        pm = pm.at[0, :n_mel].set(jnp.asarray(flow_feat.mel24[:n_mel]))
+        W = fp_w + ctx_tokens + chunk_tokens              # window tokens
+        M = cfg.cfm.n_mels
         spk = jnp.asarray(flow_feat.spk[None])
 
-        # full conditioning once (tokens are all known after the LM pass)
-        j = jnp.arange(T_all)[None, :]
-        from_prompt = jnp.take_along_axis(
-            jnp.asarray(prompt_tokens), jnp.clip(j, 0, fp_w - 1), axis=1
-        )
-        from_gen = jnp.take_along_axis(
-            gen.tokens, jnp.clip(j - n_p, 0, max_new - 1), axis=1
-        )
-        tokens = jnp.where(
-            j < n_p, from_prompt,
-            jnp.where(j < n_p + gen_len, from_gen, 0),
-        )
-        cond = cfm.upsample_tokens(self.params.cfm, tokens, up)
-        fr = jnp.arange(n_frames)[None, :]
-        frame_mask = (fr < (n_p + gen_len) * up).astype(jnp.float32)
+        # rolling generated-mel history (host; small) for the context region
+        mel_hist = np.zeros((gen_len * up, M), np.float32)
 
-        emitted = n_p
-        while emitted < n_p + gen_len:
-            upto = min(emitted + chunk_tokens, n_p + gen_len)
-            pmask = (fr < emitted * up).astype(jnp.float32)
+        window_tokens = np.zeros((1, W), np.int32)
+        window_tokens[0, :n_p] = flow_feat.tokens[:n_p]
+        prompt_mel_w = np.zeros((1, W * up, M), np.float32)
+        prompt_mel_w[0, :n_mel] = flow_feat.mel24[:n_mel]
+
+        emitted = 0  # generated tokens already emitted
+        while emitted < gen_len:
+            n_chunk = min(chunk_tokens, gen_len - emitted)
+            n_ctx = min(ctx_tokens, emitted)
+            # window layout: [prompt fp_w | ctx_tokens | chunk_tokens]
+            window_tokens[0, fp_w:] = 0
+            window_tokens[0, fp_w : fp_w + n_ctx] = gen_tokens[
+                emitted - n_ctx : emitted
+            ]
+            window_tokens[0, fp_w + ctx_tokens : fp_w + ctx_tokens + n_chunk] = (
+                gen_tokens[emitted : emitted + n_chunk]
+            )
+            prompt_mel_w[0, fp_w * up :] = 0.0
+            if n_ctx:
+                prompt_mel_w[0, fp_w * up : (fp_w + n_ctx) * up] = mel_hist[
+                    (emitted - n_ctx) * up : emitted * up
+                ]
+
+            fr = np.arange(W * up)
+            pmask = ((fr < n_mel) | (
+                (fr >= fp_w * up) & (fr < (fp_w + n_ctx) * up)
+            )).astype(np.float32)[None, :]
+            fmask = (
+                (fr < n_p * up)
+                | ((fr >= fp_w * up) & (fr < (fp_w + n_ctx) * up))
+                | ((fr >= (fp_w + ctx_tokens) * up)
+                   & (fr < (fp_w + ctx_tokens + n_chunk) * up))
+            ).astype(np.float32)[None, :]
+            # absolute utterance positions per window slot
+            pos = np.zeros((1, W * up), np.int32)
+            pos[0, : fp_w * up] = np.arange(fp_w * up)
+            pos[0, fp_w * up :] = (
+                (n_p + emitted - n_ctx) * up + np.arange((ctx_tokens + chunk_tokens) * up)
+            )
+
             self.key, sub = jax.random.split(self.key)
             with self.watch.span("cfm_chunk"):
+                cond = cfm.upsample_tokens(
+                    self.params.cfm, jnp.asarray(window_tokens), up
+                )
                 mel = cfm.sample_mel(
                     self.params.cfm, cfg.cfm, sub, cond, spk,
-                    pm * pmask[..., None], pmask, frame_mask, use_cfg=True,
+                    jnp.asarray(prompt_mel_w), jnp.asarray(pmask),
+                    jnp.asarray(fmask), use_cfg=True,
+                    positions=jnp.asarray(pos),
                 )
             with self.watch.span("vocoder_chunk"):
                 wav = self._vocode(mel)
-            # keep generated frames as the next chunk's given context
-            keep = (fr < upto * up)[..., None]
-            pm = jnp.where(keep, mel, pm)
-            chunk = np.asarray(wav[0, emitted * up * hop : upto * up * hop])
-            emitted = upto
+            lo = (fp_w + ctx_tokens) * up
+            hi = lo + n_chunk * up
+            mel_np = np.asarray(mel[0])
+            mel_hist[emitted * up : (emitted + n_chunk) * up] = mel_np[lo:hi]
+            chunk = np.asarray(wav[0, lo * hop : hi * hop])
+            emitted += n_chunk
             yield chunk.astype(np.float32)
 
     # ------------------------------------------------------------------ public API
@@ -481,12 +522,19 @@ class Engine:
         stream: bool = False,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Voice conversion: source tokens re-rendered with the prompt's
-        identity (reference: tts_with_style_and_timbre.py:57). No LM."""
+        identity (reference: tts_with_style_and_timbre.py:57). No LM.
+        stream=True yields chunks."""
         feats = self.prompt_features(
             [np.asarray(source_speech_16k).reshape(-1),
              np.asarray(prompt_speech_16k).reshape(-1)]
         )
         src, prm = feats
+        if stream:
+            for chunk in self._synthesize_stream(
+                "", "", None, prm, lm_tokens_override=src.tokens
+            ):
+                yield {"tts_speech": chunk[None, :]}
+            return
         wavs = self._synthesize(
             [""], [""], [prm], [prm], lm_tokens_override=[src.tokens]
         )
@@ -519,8 +567,12 @@ class Engine:
         self, tts_text: str, spk_id: str, stream: bool = False
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Registered-speaker TTS (reference mentions inference_sft,
-        vc_from_dir.py:19)."""
+        vc_from_dir.py:19). stream=True yields chunks."""
         f = self.speakers[spk_id]
+        if stream:
+            for chunk in self._synthesize_stream(tts_text, "", f, f):
+                yield {"tts_speech": chunk[None, :]}
+            return
         wavs = self._synthesize([tts_text], [""], [f], [f])
         yield {"tts_speech": wavs[0][None, :]}
 

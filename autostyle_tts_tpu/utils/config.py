@@ -282,7 +282,9 @@ def tiny_config() -> Config:
     cfg.retrieval = RetrievalConfig(dim=32, capacity=128)
     cfg.audio = AudioConfig(
         sample_rate=2400, prompt_sample_rate=1600,
-        n_fft=128, hop_length=75, win_length=128, n_mels=16, fmax=1200.0,
+        # hop == prod(vocoder.upsample_rates) = 4*4*2 — the same frames->samples
+        # invariant the flagship config holds (480 == 5*4*4*3*2)
+        n_fft=128, hop_length=32, win_length=128, n_mels=16, fmax=1200.0,
         prompt_n_fft=64, prompt_hop_length=40, prompt_win_length=64,
         prompt_n_mels=16, prompt_fmax=800.0,
     )

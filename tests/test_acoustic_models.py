@@ -163,7 +163,13 @@ def test_vocoder_upsample_matches_hop():
 def test_vocoder_losses_zero_at_identity(cfg):
     wav = jnp.asarray(np.random.default_rng(0).standard_normal((1, 2400)), jnp.float32)
     assert float(vocoder.multi_res_stft_loss(wav, wav)) < 1e-5
-    assert float(vocoder.mel_l1_loss(wav, wav, 2400, 128, 75, 16)) < 1e-6
+    assert float(vocoder.mel_l1_loss(wav, wav, 2400, 128, 32, 16)) < 1e-6
+
+
+def test_tiny_config_upsample_matches_hop(cfg):
+    """The frames->samples invariant must hold at tiny scale too (the engine
+    crops waveforms by token counts x upsample x hop)."""
+    assert vocoder.total_upsample(cfg.vocoder) == cfg.audio.hop_length
 
 
 # ----------------------------------------------------------------------- token LM
