@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import apply_rope, rope_table, sdpa
-from ..ops.quant import QTensor
+from ..ops.quant import Q4Tensor, QTensor, q4matmul
 from ..ops.sampling import SamplerConfig, sample
 from ..utils.config import TransformerConfig
 
@@ -119,11 +119,14 @@ def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def matmul_any(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x @ w -> f32, where w is a dense array or an int8 QTensor (the scale
-    commutes with the contraction, so the MXU sees a plain matmul)."""
+    """x @ w -> f32, where w is a dense array, an int8 QTensor, or a packed
+    int4 Q4Tensor (scales commute with the contraction, so the MXU sees a
+    plain matmul either way)."""
     if isinstance(w, QTensor):
         y = jnp.matmul(x, w.q.astype(x.dtype), preferred_element_type=jnp.float32)
         return y * w.s.astype(jnp.float32)
+    if isinstance(w, Q4Tensor):
+        return q4matmul(x, w).astype(jnp.float32)
     return jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
 
 

@@ -26,6 +26,16 @@ class QTensor(NamedTuple):
     s: jnp.ndarray        # f32 scale, shape = weight.shape[:-2] + (1, out)
 
 
+class Q4Tensor(NamedTuple):
+    """Int4 weight-only (the reference loaded its LLMs 4-bit nf4,
+    src/ft_llm.py:209-211): two nibbles packed per uint8 along the
+    contraction dim — quarter the HBM traffic of bf16. Values in [-7, 7],
+    symmetric per-output-channel scales."""
+
+    packed: jnp.ndarray   # uint8 [..., D//2, out]
+    s: jnp.ndarray        # f32 [..., 1, out]
+
+
 def quantize(w: jnp.ndarray, axis: int = -1) -> QTensor:
     """Symmetric per-channel int8: scale = absmax/127 along every dim except
     `axis` (the output-channel dim keeps its own scale)."""
@@ -47,6 +57,41 @@ def qmatmul(x: jnp.ndarray, t: QTensor) -> jnp.ndarray:
     return (y * t.s.astype(jnp.float32)).astype(x.dtype)
 
 
+def quantize4(w: jnp.ndarray) -> Q4Tensor:
+    """Symmetric per-output-channel int4 over the contraction dim (axis -2)."""
+    D = w.shape[-2]
+    if D % 2:
+        raise ValueError(f"int4 packing needs an even contraction dim, got {D}")
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int8)
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = ((lo + 8) | ((hi + 8) << 4)).astype(jnp.uint8)
+    return Q4Tensor(packed=packed, s=scale.astype(jnp.float32))
+
+
+def unpack4(t: Q4Tensor) -> jnp.ndarray:
+    """-> int8 [..., D, out] (interleaved un-pack)."""
+    lo = (t.packed & 0xF).astype(jnp.int8) - 8
+    hi = (t.packed >> 4).astype(jnp.int8) - 8
+    D2 = t.packed.shape[-2]
+    out = jnp.stack([lo, hi], axis=-2)  # [..., D//2, 2, out]
+    return out.reshape(t.packed.shape[:-2] + (2 * D2, t.packed.shape[-1]))
+
+
+def dequantize4(t: Q4Tensor, dtype=jnp.float32) -> jnp.ndarray:
+    return (unpack4(t).astype(jnp.float32) * t.s).astype(dtype)
+
+
+def q4matmul(x: jnp.ndarray, t: Q4Tensor) -> jnp.ndarray:
+    """x @ dequant4(t): nibbles unpack on the fly (fused by XLA), scale folded
+    after the contraction."""
+    w = unpack4(t).astype(x.dtype)
+    y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+    return (y * t.s.astype(jnp.float32)).astype(x.dtype)
+
+
 def qlookup(t: QTensor, idx: jnp.ndarray) -> jnp.ndarray:
     """Embedding-table gather on a quantized [V, D] table (scale is per-D row
     of the contraction view: shape [V, 1] -> broadcast)."""
@@ -57,14 +102,20 @@ _QUANT_NAMES = ("wqkv", "wq", "wk", "wv", "wo", "w_gate_up", "w_gate", "w_up",
                 "w_down", "lm_head", "speech_head")
 
 
-def quantize_tree(params: Dict, names: Tuple[str, ...] = _QUANT_NAMES) -> Dict:
+def quantize_tree(
+    params: Dict, names: Tuple[str, ...] = _QUANT_NAMES, bits: int = 8
+) -> Dict:
     """Quantize matching projection weights in a transformer param tree
-    (embeddings and norms stay full precision; LoRA is never quantized)."""
+    (embeddings and norms stay full precision; LoRA is never quantized).
+    bits=8 -> QTensor (int8), bits=4 -> Q4Tensor (packed nibbles)."""
+    quantizer = quantize if bits == 8 else quantize4
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
 
     def walk(d: Any) -> Any:
         if isinstance(d, dict):
             return {
-                k: quantize(v, axis=-1)
+                k: quantizer(v)
                 if k in names and hasattr(v, "ndim") and v.ndim >= 2
                 else walk(v)
                 for k, v in d.items()

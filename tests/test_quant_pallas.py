@@ -112,3 +112,56 @@ def test_flash_block_boundaries():
     got = flash_attention(q, k, v, offset, block_t=64, block_s=128, interpret=True)
     ref = sdpa(q, k, v, causal_mask(T, T))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+# ----------------------------------------------------------------------- int4
+
+
+def test_quant4_roundtrip_and_packing():
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    t = quant.quantize4(w)
+    assert t.packed.shape == (32, 32) and t.packed.dtype == jnp.uint8
+    back = quant.dequantize4(t)
+    err = np.abs(np.asarray(back - w)).max() / np.abs(np.asarray(w)).max()
+    assert err < 0.16  # 15-level grid
+    # pack/unpack is exact on the int grid
+    np.testing.assert_array_equal(
+        np.asarray(quant.unpack4(t)),
+        np.clip(np.round(np.asarray(w) / np.asarray(t.s)), -7, 7).astype(np.int8),
+    )
+
+
+def test_q4matmul_matches_dense():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    qd = quant.q4matmul(x, quant.quantize4(w))
+    dense = x @ w
+    rel = np.abs(np.asarray(qd - dense)).max() / np.abs(np.asarray(dense)).max()
+    assert rel < 0.15
+
+
+def test_int4_forward_and_generate():
+    cfg = TransformerConfig(
+        vocab_size=97, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=128, max_seq_len=64, dtype="float32",
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    q4 = quant.quantize_tree(params, bits=4)
+    assert isinstance(q4["layers"]["wqkv"], quant.Q4Tensor)
+    # ~quarter the bytes of f32 projections overall
+    assert quant.tree_bytes(q4) < 0.35 * quant.tree_bytes(params)
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    out = tfm.forward(q4, cfg, tokens)
+    assert np.isfinite(np.asarray(out.logits)).all()
+    from autostyle_tts_tpu.ops.sampling import SamplerConfig
+
+    toks, lens = tfm.left_pad([[1, 2]], pad_id=0)
+    cache = tfm.make_cache(cfg, 1, 16, jnp.float32)
+    res = tfm.generate(
+        q4, cfg, jnp.asarray(toks), jnp.asarray(lens), cache,
+        jax.random.PRNGKey(0), max_new_tokens=4,
+        sampler=SamplerConfig.label(), eos_id=96,
+    )
+    assert res.tokens.shape == (1, 4)
