@@ -172,6 +172,8 @@ def _layer(
 
     x = rmsnorm(h, lp["attn_norm"], cfg.norm_eps)
     qkv = _proj(x, lp["wqkv"], *g("wqkv"), lora_scale)
+    if "bqkv" in lp:  # Qwen2-family attention bias
+        qkv = qkv + lp["bqkv"].astype(qkv.dtype)
     q, k, v = jnp.split(qkv, [H * hd, (H + K) * hd], axis=-1)
     q = q.reshape(B, T, H, hd)
     k = k.reshape(B, T, K, hd)
