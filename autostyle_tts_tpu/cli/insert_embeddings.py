@@ -24,11 +24,24 @@ def build_embedder(args, cfg):
     from ..models import transformer as core
 
     ecfg = cfg.embedder
-    params = core.init_params(jax.random.PRNGKey(args.seed), ecfg)
-    if getattr(args, "embedder_checkpoint", None):
-        from ..utils.checkpoint import load_pytree
+    tokenizer = None
+    if getattr(args, "embedder_hf_dir", None):
+        # real HF checkpoint (the reference's Llama-3.2-3B / Qwen2.5-7B path)
+        from ..utils.hf_convert import load_hf_checkpoint
 
-        params = load_pytree(args.embedder_checkpoint, params)
+        ecfg, params = load_hf_checkpoint(args.embedder_hf_dir)
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        import transformers
+
+        tokenizer = transformers.AutoTokenizer.from_pretrained(args.embedder_hf_dir)
+    else:
+        params = core.init_params(jax.random.PRNGKey(args.seed), ecfg)
+        if getattr(args, "embedder_checkpoint", None):
+            from ..utils.checkpoint import load_pytree
+
+            params = load_pytree(args.embedder_checkpoint, params)
     lora = None
     lora_scale = 0.0
     if getattr(args, "lora_checkpoint", None):
@@ -37,11 +50,16 @@ def build_embedder(args, cfg):
         lora0 = core.init_lora(jax.random.PRNGKey(0), ecfg, cfg.train.lora.r)
         lora = load_pytree(args.lora_checkpoint, lora0)
         lora_scale = cfg.train.lora.alpha / cfg.train.lora.r
-    return EmbedderService(ecfg, params, lora=lora, lora_scale=lora_scale)
+    return EmbedderService(
+        ecfg, params, lora=lora, lora_scale=lora_scale, tokenizer=tokenizer
+    )
 
 
 def add_embedder_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--embedder_checkpoint", type=str, default=None)
+    p.add_argument("--embedder_checkpoint", type=str, default=None,
+                   help="framework npz param snapshot")
+    p.add_argument("--embedder_hf_dir", type=str, default=None,
+                   help="local HF checkpoint dir (Llama/Qwen2) — converted on load")
     p.add_argument("--lora_checkpoint", type=str, default=None)
 
 

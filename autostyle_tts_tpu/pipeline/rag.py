@@ -75,13 +75,25 @@ class EmbedderService:
         lora: Optional[Dict] = None,
         lora_scale: float = 0.0,
         labels: Sequence[str] = tuple(EMOTION_LABELS_EN),
+        tokenizer=None,
     ):
+        """`tokenizer`: optional HF tokenizer — REQUIRED when `params` come
+        from a real checkpoint (utils/hf_convert.py), whose embedding table is
+        indexed by its BPE ids, not our byte frontend's. Defaults to the
+        self-contained byte tokenizer."""
         self.cfg = cfg
         self.params = params
         self.lora = lora
         self.lora_scale = lora_scale
         self.labels = list(labels)
         self.key = jax.random.PRNGKey(0)
+        self.tokenizer = tokenizer
+        if tokenizer is None:
+            self.pad_id = frontend.PAD_ID
+            self.eos_id = frontend.EOS_ID
+        else:
+            self.pad_id = tokenizer.pad_token_id or tokenizer.eos_token_id or 0
+            self.eos_id = tokenizer.eos_token_id
 
         @partial(jax.jit, static_argnames=())
         def _embed(params, lora, tokens, attn_mask):
@@ -91,11 +103,29 @@ class EmbedderService:
 
         self._embed_fn = _embed
 
+    # ------------------------------------------------------------------ tokenization
+
+    def _encode(self, text: str, max_len: int) -> np.ndarray:
+        if self.tokenizer is None:
+            return frontend.encode(text, add_eos=False)[:max_len]
+        ids = self.tokenizer.encode(text)
+        return np.asarray(ids[:max_len], np.int32)
+
+    def _decode(self, ids) -> str:
+        if self.tokenizer is None:
+            return frontend.decode(ids)
+        return self.tokenizer.decode([int(i) for i in ids], skip_special_tokens=True)
+
     # ------------------------------------------------------------------ embeddings
 
     def embed(self, texts: List[str], width: int = EMBED_MAX_TOKENS) -> np.ndarray:
-        """[B] texts -> [B, dim] f32 mean-pooled last-hidden embeddings."""
-        ids, lens = frontend.encode_batch(texts, width=width)
+        """[B] texts -> [B, dim] f32 mean-pooled last-hidden embeddings
+        (512-token truncation per the reference contract, RAG.py:129)."""
+        seqs = [self._encode(t, width) for t in texts]
+        lens = np.asarray([len(s) for s in seqs], np.int32)
+        ids = np.full((len(texts), width), self.pad_id, np.int32)
+        for i, s in enumerate(seqs):
+            ids[i, : len(s)] = s
         mask = (np.arange(width)[None, :] < lens[:, None]).astype(np.int32)
         out = self._embed_fn(
             self.params, self.lora, jnp.asarray(ids), jnp.asarray(mask)
@@ -116,19 +146,19 @@ class EmbedderService:
         self, prompts: List[str], max_new: int, sampler: SamplerConfig,
         prompt_width: int = 1024,
     ) -> List[str]:
-        seqs = [frontend.encode(p, add_eos=False)[-prompt_width:] for p in prompts]
-        toks, lens = core.left_pad(seqs, pad_id=frontend.PAD_ID, width=prompt_width)
+        seqs = [self._encode(p, 10**9)[-prompt_width:] for p in prompts]
+        toks, lens = core.left_pad(seqs, pad_id=self.pad_id, width=prompt_width)
         cache = core.make_cache(self.cfg, len(prompts), prompt_width + max_new + 1)
         self.key, sub = jax.random.split(self.key)
         res = core.generate(
             self.params, self.cfg, jnp.asarray(toks), jnp.asarray(lens), cache,
             sub, max_new_tokens=max_new, sampler=sampler,
-            eos_id=frontend.EOS_ID, pad_id=frontend.PAD_ID,
+            eos_id=self.eos_id, pad_id=self.pad_id,
             lora=self.lora, lora_scale=self.lora_scale,
         )
         out = []
         for row, n in zip(np.asarray(res.tokens), np.asarray(res.lengths)):
-            out.append(frontend.decode(row[: int(n)]).strip())
+            out.append(self._decode(row[: int(n)]).strip())
         return out
 
     def biography(self, conversation: str, speaker: str) -> str:
