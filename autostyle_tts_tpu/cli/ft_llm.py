@@ -100,11 +100,13 @@ def main(argv=None) -> None:
                 continue
             lora = None
             lscale = 0.0
-            from ..utils.checkpoint import CheckpointManager
+            best = Path(run_dir) / "best.npz"
+            if best.exists():  # best-by-F1 adapter (load_best_model_at_end parity)
+                from ..utils.checkpoint import load_pytree
 
-            mgr = CheckpointManager(run_dir)
-            if mgr.latest_step():
-                lora = mgr.restore(core.init_lora(jax.random.PRNGKey(0), ecfg, tcfg.lora.r))
+                lora = load_pytree(
+                    best, core.init_lora(jax.random.PRNGKey(0), ecfg, tcfg.lora.r)
+                )
                 lscale = tcfg.lora.alpha / tcfg.lora.r
             f1, _ = lora_sft.evaluate_generation(
                 params, ecfg, read_jsonl(jsonl_path(split)), labels,

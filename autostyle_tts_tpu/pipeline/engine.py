@@ -342,9 +342,11 @@ class Engine:
         else:
             lens_host = np.asarray([len(t) for t in lm_tokens_override], np.int32)
             max_new = _bucket(int(lens_host.max()), GEN_BUCKETS)
+            lens_host = np.minimum(lens_host, max_new)  # clamp to bucket ceiling
             toks_host = np.full((B, max_new), tl.speech_pad, np.int32)
             for i, t in enumerate(lm_tokens_override):
-                toks_host[i, : len(t)] = t[:max_new]
+                n = min(len(t), max_new)
+                toks_host[i, :n] = t[:n]
             gen_tokens, gen_lens = jnp.asarray(toks_host), jnp.asarray(lens_host)
 
         # --- flow prompt side (host: prompt features are already np arrays)
@@ -447,9 +449,13 @@ class Engine:
         while emitted < gen_len:
             n_chunk = min(chunk_tokens, gen_len - emitted)
             n_ctx = min(ctx_tokens, emitted)
-            # window layout: [prompt fp_w | ctx_tokens | chunk_tokens]
+            # window layout: [prompt fp_w | ctx_tokens | chunk_tokens], with
+            # the context RIGHT-ALIGNED against the chunk so content slots are
+            # contiguous; any unfilled gap sits at the left of the ctx region
+            # and is masked out of frame_mask (first chunks have n_ctx < ctx).
+            ctx_lo = fp_w + ctx_tokens - n_ctx
             window_tokens[0, fp_w:] = 0
-            window_tokens[0, fp_w : fp_w + n_ctx] = gen_tokens[
+            window_tokens[0, ctx_lo : fp_w + ctx_tokens] = gen_tokens[
                 emitted - n_ctx : emitted
             ]
             window_tokens[0, fp_w + ctx_tokens : fp_w + ctx_tokens + n_chunk] = (
@@ -457,25 +463,28 @@ class Engine:
             )
             prompt_mel_w[0, fp_w * up :] = 0.0
             if n_ctx:
-                prompt_mel_w[0, fp_w * up : (fp_w + n_ctx) * up] = mel_hist[
+                prompt_mel_w[0, ctx_lo * up : (fp_w + ctx_tokens) * up] = mel_hist[
                     (emitted - n_ctx) * up : emitted * up
                 ]
 
             fr = np.arange(W * up)
             pmask = ((fr < n_mel) | (
-                (fr >= fp_w * up) & (fr < (fp_w + n_ctx) * up)
+                (fr >= ctx_lo * up) & (fr < (fp_w + ctx_tokens) * up)
             )).astype(np.float32)[None, :]
             fmask = (
                 (fr < n_p * up)
-                | ((fr >= fp_w * up) & (fr < (fp_w + n_ctx) * up))
-                | ((fr >= (fp_w + ctx_tokens) * up)
+                | ((fr >= ctx_lo * up)
                    & (fr < (fp_w + ctx_tokens + n_chunk) * up))
             ).astype(np.float32)[None, :]
-            # absolute utterance positions per window slot
+            # absolute utterance positions: with right-aligned context, slot
+            # offset o in the tail maps to (n_p + emitted - ctx)*up + o, which
+            # makes content slots contiguous and the chunk start land exactly
+            # at (n_p + emitted)*up — identical coordinates to the full solve.
             pos = np.zeros((1, W * up), np.int32)
             pos[0, : fp_w * up] = np.arange(fp_w * up)
-            pos[0, fp_w * up :] = (
-                (n_p + emitted - n_ctx) * up + np.arange((ctx_tokens + chunk_tokens) * up)
+            tail_abs = (n_p + emitted - ctx_tokens) * up
+            pos[0, fp_w * up :] = np.maximum(
+                tail_abs + np.arange((ctx_tokens + chunk_tokens) * up), 0
             )
 
             self.key, sub = jax.random.split(self.key)

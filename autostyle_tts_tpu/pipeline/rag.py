@@ -92,7 +92,8 @@ class EmbedderService:
             self.pad_id = frontend.PAD_ID
             self.eos_id = frontend.EOS_ID
         else:
-            self.pad_id = tokenizer.pad_token_id or tokenizer.eos_token_id or 0
+            pad = tokenizer.pad_token_id  # 0 is a legitimate pad id
+            self.pad_id = pad if pad is not None else (tokenizer.eos_token_id or 0)
             self.eos_id = tokenizer.eos_token_id
 
         @partial(jax.jit, static_argnames=())
@@ -118,19 +119,31 @@ class EmbedderService:
 
     # ------------------------------------------------------------------ embeddings
 
+    @staticmethod
+    def _batch_bucket(n: int) -> int:
+        """Pad batch sizes to powers of two so the final partial chunk of an
+        insert/search loop reuses a compiled program instead of recompiling."""
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
     def embed(self, texts: List[str], width: int = EMBED_MAX_TOKENS) -> np.ndarray:
         """[B] texts -> [B, dim] f32 mean-pooled last-hidden embeddings
         (512-token truncation per the reference contract, RAG.py:129)."""
+        B = len(texts)
+        Bp = self._batch_bucket(B)
         seqs = [self._encode(t, width) for t in texts]
-        lens = np.asarray([len(s) for s in seqs], np.int32)
-        ids = np.full((len(texts), width), self.pad_id, np.int32)
+        lens = np.zeros((Bp,), np.int32)
+        lens[:B] = [len(s) for s in seqs]
+        ids = np.full((Bp, width), self.pad_id, np.int32)
         for i, s in enumerate(seqs):
             ids[i, : len(s)] = s
         mask = (np.arange(width)[None, :] < lens[:, None]).astype(np.int32)
         out = self._embed_fn(
             self.params, self.lora, jnp.asarray(ids), jnp.asarray(mask)
         )
-        return np.asarray(out, np.float32)
+        return np.asarray(out, np.float32)[:B]
 
     def combined_embedding(
         self, emotion_texts: List[str], biography_texts: List[str]
@@ -146,9 +159,12 @@ class EmbedderService:
         self, prompts: List[str], max_new: int, sampler: SamplerConfig,
         prompt_width: int = 1024,
     ) -> List[str]:
+        B = len(prompts)
+        Bp = self._batch_bucket(B)
         seqs = [self._encode(p, 10**9)[-prompt_width:] for p in prompts]
+        seqs += [seqs[-1]] * (Bp - B)  # pad rows reuse a real prompt
         toks, lens = core.left_pad(seqs, pad_id=self.pad_id, width=prompt_width)
-        cache = core.make_cache(self.cfg, len(prompts), prompt_width + max_new + 1)
+        cache = core.make_cache(self.cfg, Bp, prompt_width + max_new + 1)
         self.key, sub = jax.random.split(self.key)
         res = core.generate(
             self.params, self.cfg, jnp.asarray(toks), jnp.asarray(lens), cache,
@@ -157,7 +173,7 @@ class EmbedderService:
             lora=self.lora, lora_scale=self.lora_scale,
         )
         out = []
-        for row, n in zip(np.asarray(res.tokens), np.asarray(res.lengths)):
+        for row, n in zip(np.asarray(res.tokens)[:B], np.asarray(res.lengths)[:B]):
             out.append(self._decode(row[: int(n)]).strip())
         return out
 
@@ -252,12 +268,16 @@ def build_style_db(
         from ..utils.native_audio import load_wav_fast
 
         sr = engine.cfg.audio.prompt_sample_rate
-        wavs = []
-        for s in samples:
-            fid = s.file_id
-            p = Path(wav_dir) / (fid if fid.endswith(".wav") else fid + ".wav")
-            wavs.append(load_wav_fast(str(p), sr))
-        feats = engine.prompt_features(wavs)
+        feats = []
+        # featurize in the same chunked batches as the embedding loop — one
+        # [N, 30s] device batch for a 1k+ corpus would blow HBM
+        for s0 in range(0, len(samples), batch):
+            wavs = []
+            for s in samples[s0 : s0 + batch]:
+                fid = s.file_id
+                p = Path(wav_dir) / (fid if fid.endswith(".wav") else fid + ".wav")
+                wavs.append(load_wav_fast(str(p), sr))
+            feats.extend(engine.prompt_features(wavs))
         T_tok = max(len(f.tokens) for f in feats)
         F_mel = max(f.mel24.shape[0] for f in feats)
         M = feats[0].mel24.shape[1]

@@ -16,7 +16,6 @@ for the dynamic metadata columns.
 from __future__ import annotations
 
 import json
-import re
 import sqlite3
 from typing import Dict, List, Optional, Tuple
 
@@ -59,15 +58,16 @@ def _extract_vector(blob: bytes) -> Optional[np.ndarray]:
     return np.frombuffer(blob, dtype="<f4", count=dim, offset=pos).copy()
 
 
-_META_RE = re.compile(rb'\{"file_id".*?\}')
-
-
 def _extract_meta(blob: bytes) -> Dict:
-    m = _META_RE.search(blob)
-    if not m:
+    """Parse the dynamic-field JSON object with a real decoder (raw_decode)
+    so '}' inside string values doesn't truncate it."""
+    i = blob.find(b'{"file_id"')
+    if i < 0:
         return {}
+    text = blob[i:].decode("utf-8", errors="replace")
     try:
-        return json.loads(m.group(0).decode("utf-8", errors="replace"))
+        obj, _ = json.JSONDecoder().raw_decode(text)
+        return obj if isinstance(obj, dict) else {}
     except json.JSONDecodeError:
         return {}
 

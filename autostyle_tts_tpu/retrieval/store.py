@@ -106,6 +106,7 @@ class StyleStore:
         self.db = jnp.zeros_like(self.db)
         self.valid = jnp.zeros_like(self.valid)
         self.meta = []
+        self.artifacts = {}  # stale prompt caches must not outlive their rows
 
     # ------------------------------------------------------------------ search
 

@@ -32,7 +32,7 @@ from ..models import frontend
 from ..models import transformer as core
 from ..parallel.mesh import make_mesh
 from ..parallel.sharding import batch_sharding, param_shardings, replicated
-from ..utils.checkpoint import CheckpointManager
+from ..utils.checkpoint import CheckpointManager, save_pytree
 from ..utils.config import TrainConfig, TransformerConfig
 
 
@@ -275,18 +275,29 @@ def train(
     lora = core.init_lora(key, cfg, tcfg.lora.r)
     steps_per_epoch = max(1, len(train_samples) // (tcfg.batch_size * tcfg.grad_accum))
     total_steps = steps_per_epoch * tcfg.epochs
-    optimizer = make_optimizer(tcfg, total_steps)
+    # TRUE gradient accumulation: MultiSteps averages grads over grad_accum
+    # micro-batches and applies ONE update — the inner schedule advances per
+    # applied step, matching the reference's effective batch = bs * accum.
+    optimizer = optax.MultiSteps(
+        make_optimizer(tcfg, total_steps), every_k_schedule=tcfg.grad_accum
+    )
     opt_state = optimizer.init(lora)
     step_fn = make_train_step(cfg, tcfg, optimizer)
     mgr = CheckpointManager(out_dir, save_total_limit=1)
+    best_path = Path(out_dir) / "best.npz"
 
+    state = {"lora": lora, "opt_state": opt_state}
     start = mgr.latest_step() or 0
     if start:
-        lora = mgr.restore(lora, step=start)
+        state = mgr.restore(state, step=start)  # weights AND optimizer moments
+    lora, opt_state = state["lora"], state["opt_state"]
 
     best_f1, best_step, step = -1.0, start, start
     history = []
+    done = step >= total_steps
     for epoch in range(tcfg.epochs):
+        if done:
+            break
         batches = make_batches(
             train_samples, tcfg.max_seq_len, tcfg.batch_size,
             seed=tcfg.seed + epoch, drop_last=True,
@@ -313,12 +324,24 @@ def train(
                 history.append({"step": step, "eval_weighted_f1": f1})
                 if f1 > best_f1:
                     best_f1, best_step = f1, step
+                    save_pytree(best_path, lora, metadata={"f1": f1, "step": step})
             if step % tcfg.save_every == 0:
-                mgr.save(step, lora, metadata={"best_f1": best_f1})
-    mgr.save(max(step, 1), lora, metadata={"best_f1": best_f1, "final": True})
+                mgr.save(
+                    step, {"lora": lora, "opt_state": opt_state},
+                    metadata={"best_f1": best_f1},
+                )
+            if step >= total_steps:  # resume never overtrains past schedule
+                done = True
+                break
+    mgr.save(
+        max(step, 1), {"lora": lora, "opt_state": opt_state},
+        metadata={"best_f1": best_f1, "final": True},
+    )
+    if best_f1 < 0 and not best_path.exists():  # no eval ran: final = best
+        save_pytree(best_path, lora, metadata={"step": step})
     Path(out_dir, "history.json").write_text(json.dumps(history, indent=2))
     return {"lora": lora, "best_f1": best_f1, "best_step": best_step,
-            "steps": step, "history": history}
+            "steps": step, "history": history, "best_checkpoint": str(best_path)}
 
 
 # ----------------------------------------------------------------------- multichip dry run
