@@ -33,6 +33,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="engine params snapshot (.npz)")
     p.add_argument("--tiny", action="store_true", help="tiny test geometry")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--profile", action="store_true",
+                   help="per-stage wall-time report (+jax.profiler spans) at exit")
 
 
 def build_config(args) -> config_lib.Config:
@@ -69,7 +71,13 @@ def build_engine(args):
         params = EngineParams.from_tree(
             jax.tree_util.tree_map(jnp.asarray, loaded)
         )
-    return Engine(cfg, params=params, seed=args.seed)
+    profile = bool(getattr(args, "profile", False))
+    engine = Engine(cfg, params=params, seed=args.seed, profile=profile)
+    if profile:
+        import atexit
+
+        atexit.register(lambda: print("\n-- stage timing --\n" + engine.watch.report()))
+    return engine
 
 
 def save_engine_checkpoint(engine, path: str) -> None:
