@@ -1,1 +1,10 @@
-from . import attention, resample, sampling, stft, topk  # noqa: F401
+from . import (  # noqa: F401
+    attention,
+    conv,
+    pallas_attn,
+    quant,
+    resample,
+    sampling,
+    stft,
+    topk,
+)
