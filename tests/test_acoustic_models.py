@@ -228,3 +228,39 @@ def test_token_lm_generate_and_loss(cfg):
     tgt_len = jnp.asarray([3, 2], jnp.int32)
     loss = token_lm.lm_loss(p, tl, pre, tgt, tgt_len)
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_cfm_window_position_invariance(cfg):
+    """The windowed streaming solve relies on this invariant: content placed
+    at different window slots but with the SAME absolute positions, masks and
+    conditioning produces the SAME vector field at the content slots (gap
+    slots are masked out of attention)."""
+    c = cfg.cfm
+    p = cfm.init_params(jax.random.PRNGKey(0), c)
+    rng = np.random.default_rng(0)
+    n, gap = 6, 3  # content frames, masked gap
+    F = gap + n
+    x_content = rng.standard_normal((1, n, c.n_mels)).astype(np.float32)
+    cond_content = rng.standard_normal((1, n, c.dim)).astype(np.float32)
+    spk = jnp.asarray(rng.standard_normal((1, c.spk_dim)), jnp.float32)
+    abs_pos = 40 + np.arange(n)
+
+    def field(slot0):
+        x = np.zeros((1, F, c.n_mels), np.float32)
+        cond = np.zeros((1, F, c.dim), np.float32)
+        pos = np.zeros((1, F), np.int32)
+        fmask = np.zeros((1, F), np.float32)
+        x[:, slot0 : slot0 + n] = x_content
+        cond[:, slot0 : slot0 + n] = cond_content
+        pos[:, slot0 : slot0 + n] = abs_pos
+        fmask[:, slot0 : slot0 + n] = 1.0
+        v = cfm.vector_field(
+            p, c, jnp.asarray(x), jnp.asarray([0.4]), jnp.asarray(cond), spk,
+            jnp.zeros((1, F, c.n_mels)), jnp.zeros((1, F)), jnp.asarray(fmask),
+            positions=jnp.asarray(pos),
+        )
+        return np.asarray(v)[0, slot0 : slot0 + n]
+
+    v_left = field(0)      # content at slots [0, n)
+    v_right = field(gap)   # same content at slots [gap, gap+n)
+    np.testing.assert_allclose(v_left, v_right, atol=1e-5)
