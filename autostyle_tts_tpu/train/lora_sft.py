@@ -84,6 +84,110 @@ class Batch:
     length: np.ndarray      # [B]
 
 
+def make_packed_batches(
+    samples: List[dict], max_seq_len: int, batch_size: int,
+    seed: int = 0, shuffle: bool = True,
+) -> Iterator["PackedBatch"]:
+    """Sequence packing (TRL SFTTrainer packing=True parity, ft_llm.py:295):
+    greedily packs whole chat samples into rows up to max_seq_len; a segment
+    id per token builds a block-diagonal attention mask so packed samples
+    never attend across boundaries. Cuts padding waste massively on short
+    ERC prompts."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(samples)) if shuffle else np.arange(len(samples))
+    rendered = []
+    for i in order:
+        ids, lm = render_chat(samples[i]["messages"])
+        if len(ids) > max_seq_len:
+            ids, lm = ids[-max_seq_len:], lm[-max_seq_len:]
+        rendered.append((ids, lm))
+
+    rows: List[List[Tuple[np.ndarray, np.ndarray]]] = []
+    cur: List[Tuple[np.ndarray, np.ndarray]] = []
+    cur_len = 0
+    for ids, lm in rendered:
+        if cur and cur_len + len(ids) > max_seq_len:
+            rows.append(cur)
+            cur, cur_len = [], 0
+        cur.append((ids, lm))
+        cur_len += len(ids)
+    if cur:
+        rows.append(cur)
+
+    for s in range(0, len(rows), batch_size):
+        chunk = rows[s : s + batch_size]
+        B = len(chunk)
+        toks = np.zeros((B, max_seq_len), np.int32)
+        mask = np.zeros((B, max_seq_len), np.int32)
+        seg = np.zeros((B, max_seq_len), np.int32)  # 0 = padding
+        for b, row in enumerate(chunk):
+            off = 0
+            for si, (ids, lm) in enumerate(row, start=1):
+                toks[b, off : off + len(ids)] = ids
+                mask[b, off : off + len(ids)] = lm
+                seg[b, off : off + len(ids)] = si
+                off += len(ids)
+        yield PackedBatch(toks, mask, seg)
+
+
+@dataclass
+class PackedBatch:
+    tokens: np.ndarray      # [B, T]
+    loss_mask: np.ndarray   # [B, T]
+    segment_ids: np.ndarray  # [B, T], 0 = pad; equal ids attend each other
+
+
+def packed_sft_loss(
+    lora: Dict,
+    params: Dict,
+    cfg: TransformerConfig,
+    tokens: jnp.ndarray,
+    loss_mask: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    key: jax.Array,
+    *,
+    lora_scale: float,
+    neftune_alpha: float = 0.0,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """sft_loss with block-diagonal (causal AND same-segment) attention, and
+    next-token targets masked at segment boundaries."""
+    B, T = tokens.shape
+    from ..ops.attention import causal_mask
+
+    same_seg = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+    valid = (segment_ids > 0)[:, None, None, :]
+    attn = causal_mask(T, T) & same_seg & valid
+    # positions restart per segment so RoPE matches the unpacked layout
+    idx = jnp.arange(T)[None, :]
+    seg_change = jnp.concatenate(
+        [jnp.ones((B, 1), bool), segment_ids[:, 1:] != segment_ids[:, :-1]], axis=1
+    )
+    seg_start = jnp.where(seg_change, idx, 0)
+    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start, axis=1)
+    positions = (idx - seg_start).astype(jnp.int32)
+
+    embeds = params["tok_emb"][tokens].astype(jnp.dtype(cfg.dtype))
+    if neftune_alpha > 0:
+        scale = neftune_alpha / jnp.sqrt(jnp.float32(T * cfg.dim))
+        noise = jax.random.uniform(key, embeds.shape, jnp.float32, -1.0, 1.0) * scale
+        embeds = embeds + noise.astype(embeds.dtype)
+    out = core.forward(
+        params, cfg, inputs_embeds=embeds, positions=positions, mask=attn,
+        lora=lora, lora_scale=lora_scale, remat=remat,
+    )
+    logits = out.logits[:, :-1]
+    targets = tokens[:, 1:]
+    # only score where target continues the SAME segment
+    w = (
+        (loss_mask[:, 1:] > 0)
+        & (segment_ids[:, 1:] == segment_ids[:, :-1])
+    ).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def make_batches(
     samples: List[dict], max_seq_len: int, batch_size: int,
     seed: int = 0, shuffle: bool = True, drop_last: bool = False,

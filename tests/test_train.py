@@ -219,3 +219,56 @@ def test_train_driver_smoke(tmp_path):
 
 def test_dryrun_multichip_8dev():
     lora_sft.dryrun_train_step(8)
+
+
+# ----------------------------------------------------------------------- packing
+
+
+def test_packed_loss_matches_unpacked():
+    """Packing two samples into one row with block-diagonal attention and
+    per-segment positions must give the same total NLL as two separate rows."""
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    lora = core.init_lora(jax.random.PRNGKey(1), cfg, 4)
+    samples = _samples(2)
+    # unpacked reference: per-sample losses weighted by token counts
+    ref_num, ref_den = 0.0, 0.0
+    for s in samples:
+        ids, lm = lora_sft.render_chat(s["messages"])
+        toks = jnp.asarray([ids])
+        mask = jnp.asarray([lm])
+        length = jnp.asarray([len(ids)])
+        loss = lora_sft.sft_loss(
+            lora, params, cfg, toks, mask, length, jax.random.PRNGKey(0),
+            lora_scale=2.0, neftune_alpha=0.0, remat=False,
+        )
+        n = int((np.asarray(lm)[1:] > 0).sum())
+        ref_num += float(loss) * n
+        ref_den += n
+    ref = ref_num / ref_den
+
+    batch = next(lora_sft.make_packed_batches(samples, 96, 1, shuffle=False))
+    assert (batch.segment_ids.max()) == 2  # both samples in one row
+    got = lora_sft.packed_sft_loss(
+        lora, params, cfg,
+        jnp.asarray(batch.tokens), jnp.asarray(batch.loss_mask),
+        jnp.asarray(batch.segment_ids), jax.random.PRNGKey(0),
+        lora_scale=2.0, neftune_alpha=0.0, remat=False,
+    )
+    np.testing.assert_allclose(float(got), ref, rtol=2e-4)
+
+
+def test_packed_batches_shapes():
+    samples = _samples(8)
+    batches = list(lora_sft.make_packed_batches(samples, 64, 2, shuffle=False))
+    total_segments = sum(
+        len(np.unique(b.segment_ids[i])) - (1 if (b.segment_ids[i] == 0).any() else 0)
+        for b in batches for i in range(b.tokens.shape[0])
+    )
+    assert total_segments == 8  # every sample packed exactly once
+    for b in batches:
+        assert b.tokens.shape[1] == 64
+        # loss mask only on non-pad segments
+        assert ((b.loss_mask > 0) <= (b.segment_ids > 0)).all()
