@@ -1,0 +1,160 @@
+"""Batch serving loop: JSONL requests in -> 24 kHz wavs + JSONL responses out.
+
+The production-serving runtime the reference never had (its serving story was
+one-off CLI scripts, SURVEY §3). Requests stream from a file or stdin, are
+dynamically batched (flush at --batch requests or --max_wait_ms, whichever
+first), and run through the batched synthesis path (one device program per
+stage per batch). Responses are emitted as JSON lines.
+
+Request line:
+  {"id": "r1", "text": "...", "style_text": "...",
+   "style_wav": "/p/s.wav" | "style_index": 3,      # DB row (needs --style_db)
+   "timbre_wav": "/p/t.wav" | "timbre_id": "w1"}     # registered via --timbre_map
+
+Response line:
+  {"id": "r1", "wav": "<result_dir>/r1.wav", "samples": N,
+   "audio_s": ..., "latency_ms": ...}
+  or {"id": "r1", "error": "..."} — per-request failures never kill the loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, TextIO
+
+from ..utils.native_audio import load_wav_fast
+from .common import add_common_args, build_engine, save_wav_22050_or_24k
+from .tts_with_rag import parse_timbre_map
+
+
+def _read_batch(stream: TextIO, batch: int, max_wait_ms: float) -> List[dict]:
+    """Collect up to `batch` request lines; flush on EOF or max_wait."""
+    import select
+
+    out: List[dict] = []
+    deadline = None
+    while len(out) < batch:
+        if deadline is not None:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            if stream is sys.stdin:
+                r, _, _ = select.select([stream], [], [], remaining)
+                if not r:
+                    break
+        line = stream.readline()
+        if not line:
+            break  # EOF
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            out.append(json.loads(line))
+        except json.JSONDecodeError as e:
+            print(json.dumps({"error": f"bad request line: {e}"}), flush=True)
+            continue
+        if deadline is None:
+            deadline = time.perf_counter() + max_wait_ms / 1000.0
+    return out
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--requests", type=str, default="-",
+                   help="request JSONL path, or '-' for stdin")
+    p.add_argument("--result_dir", type=str, required=True)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max_wait_ms", type=float, default=100.0)
+    p.add_argument("--style_db", type=str, default=None,
+                   help="StyleStore snapshot (enables style_index requests)")
+    p.add_argument("--timbre_map", type=str, default=None,
+                   help="'id=path,...' or JSON — registered timbre_id values")
+    p.add_argument("--max_seconds", type=float, default=20.0)
+    args = p.parse_args(argv)
+
+    engine = build_engine(args)
+    sr = engine.cfg.audio.prompt_sample_rate
+    out_sr = engine.cfg.audio.sample_rate
+    result_dir = Path(args.result_dir)
+    result_dir.mkdir(parents=True, exist_ok=True)
+
+    store = None
+    if args.style_db:
+        from ..retrieval import StyleStore
+
+        store = StyleStore.load(args.style_db)
+    timbres: Dict[str, object] = {}
+    if args.timbre_map:
+        timbres = {
+            k: load_wav_fast(v, sr) for k, v in parse_timbre_map(args.timbre_map).items()
+        }
+    wav_cache: Dict[str, object] = {}
+
+    def prompt_of(req: dict, kind: str):
+        """kind in {style, timbre}: resolve wav/id/index to wav or features."""
+        if kind == "style" and "style_index" in req:
+            if store is None:
+                raise ValueError("style_index requires --style_db")
+            return engine.prompt_features_from_store(store, [int(req["style_index"])])[0]
+        if kind == "timbre" and "timbre_id" in req:
+            return timbres[str(req["timbre_id"])]
+        path = req[f"{kind}_wav"]
+        if path not in wav_cache:
+            wav_cache[path] = load_wav_fast(path, sr)
+        return wav_cache[path]
+
+    stream = sys.stdin if args.requests == "-" else open(args.requests, encoding="utf-8")
+    served = 0
+    try:
+        while True:
+            requests = _read_batch(stream, args.batch, args.max_wait_ms)
+            if not requests:
+                break
+            t0 = time.perf_counter()
+            texts, stexts, styles, timbs, good = [], [], [], [], []
+            for req in requests:
+                try:
+                    styles.append(prompt_of(req, "style"))
+                    timbs.append(prompt_of(req, "timbre"))
+                    texts.append(req["text"])
+                    stexts.append(req.get("style_text", ""))
+                    good.append(req)
+                except Exception as e:
+                    print(json.dumps(
+                        {"id": req.get("id"), "error": str(e)}
+                    ), flush=True)
+            if not good:
+                continue
+            try:
+                wavs = engine.synthesize_batch(
+                    texts, stexts, styles, timbs, max_seconds=args.max_seconds
+                )
+            except Exception as e:
+                for req in good:
+                    print(json.dumps({"id": req.get("id"), "error": str(e)}),
+                          flush=True)
+                continue
+            latency_ms = (time.perf_counter() - t0) * 1000
+            for req, wav in zip(good, wavs):
+                rid = str(req.get("id", served))
+                out = result_dir / f"{rid}.wav"
+                save_wav_22050_or_24k(out, wav, engine)
+                served += 1
+                print(json.dumps({
+                    "id": rid, "wav": str(out), "samples": int(wav.size),
+                    "audio_s": round(wav.size / out_sr, 3),
+                    "latency_ms": round(latency_ms, 1),
+                }), flush=True)
+    finally:
+        if stream is not sys.stdin:
+            stream.close()
+    print(json.dumps({"served": served, "done": True}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

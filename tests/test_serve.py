@@ -1,0 +1,86 @@
+"""Serving loop: JSONL requests -> wavs + JSONL responses, dynamic batching,
+per-request error isolation, style_index/timbre_id resolution."""
+
+import json
+
+import numpy as np
+import pytest
+
+from autostyle_tts_tpu.utils.audio_io import write_wav
+
+SR = 1600
+
+
+def _make_wav(path, f=220.0, seed=0, seconds=1.0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(SR * seconds)) / SR
+    write_wav(path, (0.4 * np.sin(2 * np.pi * f * t)
+                     + 0.02 * rng.standard_normal(len(t))).astype(np.float32), SR)
+    return str(path)
+
+
+def test_serve_file_requests(tmp_path, capsys):
+    from autostyle_tts_tpu.cli import serve
+
+    style = _make_wav(tmp_path / "s.wav", f=200, seed=1)
+    timbre = _make_wav(tmp_path / "t.wav", f=300, seed=2)
+    reqs = [
+        {"id": "a", "text": "first request", "style_text": "st",
+         "style_wav": style, "timbre_wav": timbre},
+        {"id": "b", "text": "second request", "style_text": "st",
+         "style_wav": style, "timbre_id": "w1"},
+        {"id": "bad", "text": "broken", "style_wav": "/nonexistent.wav",
+         "timbre_wav": timbre},
+    ]
+    rq = tmp_path / "requests.jsonl"
+    rq.write_text("\n".join(json.dumps(r) for r in reqs) + "\n")
+    out_dir = tmp_path / "served"
+    serve.main([
+        "--tiny", "--requests", str(rq), "--result_dir", str(out_dir),
+        "--batch", "4", "--timbre_map", f"w1={timbre}", "--max_seconds", "5",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    by_id = {l.get("id"): l for l in lines if "id" in l}
+    assert "error" in by_id["bad"]              # isolated failure
+    for rid in ("a", "b"):
+        assert "wav" in by_id[rid], by_id[rid]
+        p = by_id[rid]["wav"]
+        assert (out_dir / f"{rid}.wav").exists()
+        assert by_id[rid]["samples"] > 0
+    done = [l for l in lines if l.get("done")]
+    assert done and done[0]["served"] == 2
+
+
+def test_serve_style_index_from_db(tmp_path, capsys):
+    from autostyle_tts_tpu.cli import insert_embeddings, serve
+
+    styles_dir = tmp_path / "styles"
+    styles_dir.mkdir()
+    manifest = []
+    for i in range(2):
+        fid = f"s{i}"
+        _make_wav(styles_dir / f"{fid}.wav", f=190 + 40 * i, seed=10 + i)
+        manifest.append({"speaker": "w1", "zh_text": f"sample {i}", "file_id": fid})
+    mp = tmp_path / "m.json"
+    mp.write_text(json.dumps(manifest))
+    db = tmp_path / "db"
+    insert_embeddings.main([
+        "--tiny", "--input_json", str(mp), "--db_path", str(db),
+        "--style_wav_dir", str(styles_dir),
+    ])
+    capsys.readouterr()
+    timbre = _make_wav(tmp_path / "t.wav", f=300, seed=3)
+    rq = tmp_path / "r.jsonl"
+    rq.write_text(json.dumps({
+        "id": "x", "text": "serve from db", "style_text": "st",
+        "style_index": 1, "timbre_wav": timbre,
+    }) + "\n")
+    serve.main([
+        "--tiny", "--requests", str(rq), "--result_dir", str(tmp_path / "out"),
+        "--style_db", str(db), "--max_seconds", "5",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    ok = [l for l in lines if l.get("id") == "x"]
+    assert ok and "wav" in ok[0]
