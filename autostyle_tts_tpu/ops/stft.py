@@ -136,10 +136,31 @@ def log_mel_spectrogram(
     fmax: Optional[float] = None,
     center: bool = True,
     eps: float = 1e-5,
+    impl: str = "xla",          # "xla" | "pallas" (fused kernel, TPU)
 ) -> jnp.ndarray:
-    """[..., T] -> [..., n_frames, n_mels] natural-log mel spectrogram."""
-    spec = power_spectrogram(x, n_fft, hop, win_length, center)
+    """[..., T] -> [..., n_frames, n_mels] natural-log mel spectrogram.
+
+    impl="pallas" fuses DFT matmul -> power -> mel matmul -> log in one VMEM
+    kernel (the [T, n_bins] power spectrogram never hits HBM); numerics match
+    the XLA path (tests/test_quant_pallas.py)."""
+    win_length = win_length or n_fft
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    if impl == "pallas":
+        from .pallas_mel import fused_log_mel
+
+        cos_b, sin_b = _dft_basis(n_fft, win_length)
+        if center:
+            pad = n_fft // 2
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+        frames = frame_signal(x, win_length, hop, center=False)
+        lead = frames.shape[:-2]
+        f3 = frames.reshape((-1,) + frames.shape[-2:])
+        out = fused_log_mel(
+            f3, jnp.asarray(cos_b), jnp.asarray(sin_b), fb, eps=eps,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return out.reshape(lead + out.shape[-2:])
+    spec = power_spectrogram(x, n_fft, hop, win_length, center)
     mel = jnp.matmul(spec, fb, preferred_element_type=jnp.float32)
     return jnp.log(jnp.maximum(mel, eps))
 

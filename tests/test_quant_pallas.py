@@ -165,3 +165,28 @@ def test_int4_forward_and_generate():
         sampler=SamplerConfig.label(), eos_id=96,
     )
     assert res.tokens.shape == (1, 4)
+
+
+# ----------------------------------------------------------------------- pallas fused log-mel
+
+
+def test_pallas_mel_matches_xla():
+    from autostyle_tts_tpu.ops import stft
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    x = jnp.asarray(rng.standard_normal((2, 4000)) * 0.3, jnp.float32)
+    ref = stft.log_mel_spectrogram(x, sr, 512, 160, n_mels=80, impl="xla")
+    got = stft.log_mel_spectrogram(x, sr, 512, 160, n_mels=80, impl="pallas")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_pallas_mel_1d_input_and_blocks():
+    from autostyle_tts_tpu.ops import stft
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(48000) * 0.2, jnp.float32)  # >128 frames
+    ref = stft.log_mel_spectrogram(x, 16000, 400, 160, n_mels=40, impl="xla")
+    got = stft.log_mel_spectrogram(x, 16000, 400, 160, n_mels=40, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
