@@ -30,4 +30,6 @@ def main(argv=None) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    from .common import run_cli
+
+    run_cli(main)

@@ -103,3 +103,20 @@ def save_wav_22050_or_24k(path, wav: np.ndarray, engine) -> None:
     from ..utils.audio_io import write_wav
 
     write_wav(path, wav, engine.cfg.audio.sample_rate)
+
+
+def run_cli(main_fn) -> None:
+    """__main__ wrapper: surface failures as one-line `error:` messages with
+    exit code 1 instead of tracebacks (ASTTTS_DEBUG=1 re-raises). Library and
+    test callers invoke main() directly and still get real exceptions."""
+    import sys
+
+    try:
+        main_fn()
+    except KeyboardInterrupt:
+        sys.exit(130)
+    except Exception as e:  # noqa: BLE001 — terminal UX boundary
+        if os.environ.get("ASTTTS_DEBUG") == "1":
+            raise
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        sys.exit(1)

@@ -108,4 +108,6 @@ def main(argv=None) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    from .common import run_cli
+
+    run_cli(main)
