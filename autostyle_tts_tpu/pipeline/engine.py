@@ -572,6 +572,36 @@ class Engine:
             [np.asarray(prompt_speech_16k).reshape(-1)]
         )[0]
 
+    def save_speakers(self, path) -> None:
+        """Persist the registered-speaker registry (tokens/mel/spk per id)."""
+        import json as _json
+        from pathlib import Path as _Path
+
+        base = str(path).removesuffix(".npz")
+        _Path(base).parent.mkdir(parents=True, exist_ok=True)
+        arrays = {}
+        order = sorted(self.speakers)
+        for i, sid in enumerate(order):
+            f = self.speakers[sid]
+            arrays[f"tok_{i}"] = f.tokens
+            arrays[f"spk_{i}"] = f.spk
+            arrays[f"mel_{i}"] = f.mel24
+        np.savez(base + ".npz", **arrays)
+        with open(base + ".meta.json", "w", encoding="utf-8") as fh:
+            _json.dump(order, fh)
+
+    def load_speakers(self, path) -> None:
+        import json as _json
+
+        base = str(path).removesuffix(".npz")
+        data = np.load(base + ".npz")
+        with open(base + ".meta.json", encoding="utf-8") as fh:
+            order = _json.load(fh)
+        for i, sid in enumerate(order):
+            self.speakers[sid] = PromptFeatures(
+                tokens=data[f"tok_{i}"], spk=data[f"spk_{i}"], mel24=data[f"mel_{i}"]
+            )
+
     def inference_sft(
         self, tts_text: str, spk_id: str, stream: bool = False
     ) -> Iterator[Dict[str, np.ndarray]]:

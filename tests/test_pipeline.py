@@ -84,3 +84,17 @@ def test_deterministic_given_same_engine_seed():
     w1 = list(e1.inference_zero_shot("abc", "p", _wav()))[0]["tts_speech"]
     w2 = list(e2.inference_zero_shot("abc", "p", _wav()))[0]["tts_speech"]
     np.testing.assert_allclose(w1, w2, atol=1e-5)
+
+
+def test_speaker_registry_persistence(tmp_path, engine):
+    engine.register_speaker("reg_a", _wav(seed=11))
+    engine.register_speaker("reg_b", _wav(seed=12, f=260))
+    engine.save_speakers(tmp_path / "speakers")
+    e2 = Engine(tiny_config(), seed=0)
+    e2.load_speakers(tmp_path / "speakers")
+    assert set(e2.speakers) >= {"reg_a", "reg_b"}
+    np.testing.assert_array_equal(
+        e2.speakers["reg_a"].tokens, engine.speakers["reg_a"].tokens
+    )
+    out = list(e2.inference_sft("persisted speaker", "reg_a"))
+    assert out[0]["tts_speech"].shape[1] > 0
