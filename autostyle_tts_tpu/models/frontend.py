@@ -116,5 +116,7 @@ def encode_batch(
     W = width or int(lens.max())
     out = np.full((len(seqs), W), PAD_ID, np.int32)
     for i, s in enumerate(seqs):
-        out[i, : len(s)] = s[:W]
+        if len(s) > W:  # keep the sequence terminal: EOS survives truncation
+            s = np.concatenate([s[: W - 1], [EOS_ID]]).astype(np.int32)
+        out[i, : len(s)] = s
     return out, np.minimum(lens, W)

@@ -67,12 +67,15 @@ def apply(
     mel: jnp.ndarray,          # [B, T, n_mels] (100 Hz frames)
     frame_mask: jnp.ndarray,   # [B, T]
 ) -> TokenizeResult:
-    h = mel
+    # mask before AND after every conv so padded frames (log-mel of silence is
+    # strongly non-zero) never leak through the receptive field — tokens must
+    # be identical across padding buckets (style-DB insert vs serving paths)
     m = frame_mask
+    h = mel * m[..., None].astype(mel.dtype)
     for sub, stride in zip(params["sub"], cfg.strides):
         h = conv1d(h, sub["conv"], stride=stride)
-        h = jax.nn.gelu(layer_norm(h, sub["ln"]))
         m = m[:, ::stride][:, : h.shape[1]]
+        h = jax.nn.gelu(layer_norm(h, sub["ln"])) * m[..., None].astype(h.dtype)
     B, T, D = h.shape
     n_heads = cfg.n_heads
     hd = D // n_heads

@@ -98,10 +98,8 @@ def build_prefix(
     text_idx = jnp.clip(r - 1, 0, T_txt - 1)
     style_idx = jnp.clip(r - (text_len + 2)[:, None], 0, T_sty - 1)
 
-    text_e = jnp.take_along_axis(
-        params["tok_emb"][text], jnp.broadcast_to(text_idx[..., None], (B, P, D)),
-        axis=1,
-    )
+    text_ids = jnp.take_along_axis(text, text_idx, axis=1)  # gather ids, then
+    text_e = params["tok_emb"][text_ids]                    # embed once [B,P,D]
     style_ids = jnp.take_along_axis(style_tokens, style_idx, axis=1)
     style_e = params["speech_emb"][style_ids]
     spk_e = (spk @ params["spk_proj"])[:, None, :]

@@ -346,7 +346,9 @@ def embed_text(
 
 def flash_ok(t: int, head_dim: int) -> bool:
     """Use the Pallas flash-attention prefill path? TPU only (interpret-free),
-    block-aligned T, production-sized heads. ASTTTS_FLASH=0 disables."""
+    block-aligned T, production-sized heads. ASTTTS_FLASH=0 disables — read at
+    TRACE time, so set it before the process compiles its shape buckets (an
+    already-compiled bucket keeps whichever path it was traced with)."""
     import os
 
     if os.environ.get("ASTTTS_FLASH", "1") == "0":
@@ -420,8 +422,11 @@ def generate(
         params, cfg, prompt, positions=pos, mask=pmask, cache=cache,
         cache_start=jnp.int32(0), lora=lora, lora_scale=lora_scale,
         flash_offset=offset if flash_ok(P, cfg.head_dim) else None,
+        skip_logits=True,  # full [B, P, V] prefill logits would be ~0.5 GB/row
     )
-    next_logits = out.logits[:, -1]                      # all rows end at slot P-1
+    w_out = params["lm_head"] if "lm_head" in params else params["tok_emb"].T
+    # all rows end at slot P-1 (left padding)
+    next_logits = matmul_any(out.hidden[:, -1].astype(jnp.dtype(cfg.dtype)), w_out)
 
     def step(carry, i):
         cache, cur_logits, gen_len, done, key = carry

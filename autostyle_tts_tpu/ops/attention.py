@@ -84,30 +84,3 @@ def causal_mask(t: int, s: int, offset: int = 0) -> jnp.ndarray:
 def padding_mask(lengths: jnp.ndarray, s: int) -> jnp.ndarray:
     """[B] lengths -> [B, 1, 1, S] key-padding mask."""
     return (jnp.arange(s)[None, :] < lengths[:, None])[:, None, None, :]
-
-
-# ----------------------------------------------------------------------- KV cache
-
-
-def init_kv_cache(
-    batch: int, max_len: int, n_layers: int, n_kv_heads: int, head_dim: int,
-    dtype=jnp.bfloat16,
-) -> dict:
-    shape = (n_layers, batch, max_len, n_kv_heads, head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
-        "len": jnp.zeros((batch,), jnp.int32),
-    }
-
-
-def cache_update(
-    cache_k: jnp.ndarray,   # [B, S_max, K, hd]  (one layer's slice)
-    cache_v: jnp.ndarray,
-    k_new: jnp.ndarray,     # [B, T, K, hd]
-    v_new: jnp.ndarray,
-    start: jnp.ndarray,     # scalar int32 — write offset (same for all batch rows)
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    ck = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype), (0, start, 0, 0))
-    cv = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype), (0, start, 0, 0))
-    return ck, cv

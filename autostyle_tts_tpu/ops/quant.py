@@ -92,12 +92,6 @@ def q4matmul(x: jnp.ndarray, t: Q4Tensor) -> jnp.ndarray:
     return (y * t.s.astype(jnp.float32)).astype(x.dtype)
 
 
-def qlookup(t: QTensor, idx: jnp.ndarray) -> jnp.ndarray:
-    """Embedding-table gather on a quantized [V, D] table (scale is per-D row
-    of the contraction view: shape [V, 1] -> broadcast)."""
-    return t.q[idx].astype(jnp.float32) * t.s[idx]
-
-
 _QUANT_NAMES = ("wqkv", "wq", "wk", "wv", "wo", "w_gate_up", "w_gate", "w_up",
                 "w_down", "lm_head", "speech_head")
 

@@ -83,15 +83,14 @@ def mel_filterbank(
 # ----------------------------------------------------------------------- framing
 
 
-def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> jnp.ndarray:
-    """[..., T] -> [..., n_frames, win] frames. center=True reflect-pads by
-    n_fft//2 each side (librosa/torch convention)."""
-    if center:
-        pad = n_fft // 2
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """[..., T] -> [..., n_frames, frame_length] strided frames. Callers apply
+    any center padding explicitly (the librosa convention pads by n_fft//2,
+    which this function cannot know when frame_length == win_length < n_fft —
+    see power_spectrogram / log_mel_spectrogram)."""
     t = x.shape[-1]
-    n_frames = 1 + (t - n_fft) // hop
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    n_frames = 1 + (t - frame_length) // hop
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame_length)[None, :]
     return x[..., idx]
 
 
@@ -117,7 +116,7 @@ def power_spectrogram(
     if center:  # librosa/torch convention: reflect-pad n_fft//2 each side
         pad = n_fft // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-    frames = frame_signal(x, win_length, hop, center=False)  # windowing folded into basis
+    frames = frame_signal(x, win_length, hop)  # windowing folded into basis
     cos_j = jnp.asarray(cos_b)
     sin_j = jnp.asarray(sin_b)
     re = jnp.matmul(frames, cos_j, preferred_element_type=jnp.float32)
@@ -152,7 +151,7 @@ def log_mel_spectrogram(
         if center:
             pad = n_fft // 2
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-        frames = frame_signal(x, win_length, hop, center=False)
+        frames = frame_signal(x, win_length, hop)
         lead = frames.shape[:-2]
         f3 = frames.reshape((-1,) + frames.shape[-2:])
         out = fused_log_mel(

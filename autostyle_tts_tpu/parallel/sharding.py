@@ -77,9 +77,14 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
     model_size = mesh.shape.get(MODEL_AXIS, 1)
 
     def one(path, leaf):
-        ps = _path_str(path)
+        # NamedTuple fields (QTensor.q/.s, Q4Tensor.packed, optax state slots)
+        # appear as trailing '.field' components — the rule matches the
+        # logical WEIGHT name, i.e. the last non-field component.
+        parts = [p for p in _path_str(path).split("/") if not p.startswith(".")]
+        ps = "/".join(parts) if parts else _path_str(path)
         spec = spec_for_path(ps, getattr(leaf, "ndim", 0))
         # fall back to replication when a dim doesn't divide the model axis
+        # (covers QTensor scales whose sharded dim is size 1)
         for dim, axis in enumerate(spec):
             if axis == MODEL_AXIS and leaf.shape[dim] % model_size:
                 spec = P()

@@ -264,3 +264,22 @@ def test_cfm_window_position_invariance(cfg):
     v_left = field(0)      # content at slots [0, n)
     v_right = field(gap)   # same content at slots [gap, gap+n)
     np.testing.assert_allclose(v_left, v_right, atol=1e-5)
+
+
+def test_speech_tokenizer_pad_invariance(cfg):
+    """Tokens for the same audio must be identical regardless of how much the
+    batch buffer is padded (style-DB insert vs serving buckets differ)."""
+    st = cfg.speech_tokenizer
+    p = speech_tokenizer.init_params(jax.random.PRNGKey(0), st)
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((1, 40, st.n_mels)).astype(np.float32)
+    outs = []
+    for total in (40, 64, 96):
+        buf = np.full((1, total, st.n_mels), np.log(1e-5), np.float32)
+        buf[:, :40] = mel
+        mask = np.zeros((1, total), np.float32)
+        mask[:, :40] = 1.0
+        res = speech_tokenizer.apply(p, st, jnp.asarray(buf), jnp.asarray(mask))
+        outs.append(np.asarray(res.tokens)[0, :10])
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
