@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import argparse
 
-from ..pipeline.rag import EmbedderService, build_style_db
+from ..pipeline.rag import EmbedderService, build_style_db, labels_for_language
 from ..utils.manifest import load_style_manifests
 from .common import add_common_args, build_config
 
@@ -51,7 +51,8 @@ def build_embedder(args, cfg):
         lora = load_pytree(args.lora_checkpoint, lora0)
         lora_scale = cfg.train.lora.alpha / cfg.train.lora.r
     return EmbedderService(
-        ecfg, params, lora=lora, lora_scale=lora_scale, tokenizer=tokenizer
+        ecfg, params, lora=lora, lora_scale=lora_scale, tokenizer=tokenizer,
+        labels=labels_for_language(getattr(args, "language", "en")),
     )
 
 
@@ -61,6 +62,9 @@ def add_embedder_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--embedder_hf_dir", type=str, default=None,
                    help="local HF checkpoint dir (Llama/Qwen2) — converted on load")
     p.add_argument("--lora_checkpoint", type=str, default=None)
+    p.add_argument("--language", type=str, default="en", choices=("en", "zh"),
+                   help="emotion label set for classification prompts "
+                        "(zh = the 7-label CN set, reformat_data_ft_llm_cn.py)")
 
 
 def main(argv=None) -> None:

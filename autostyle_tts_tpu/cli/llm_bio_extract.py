@@ -29,7 +29,8 @@ def main(argv=None) -> None:
     p.add_argument("--data_json", type=str, required=True,
                    help="{conv_id: {sentences, genders, labels}} dataset JSON")
     p.add_argument("--output_json", type=str, required=True)
-    p.add_argument("--language", type=str, default="en", choices=["en", "zh"])
+    # --language comes from add_embedder_args (shared: prompt/name maps here,
+    # emotion label set in the embedder service)
     p.add_argument("--batch_ladder", type=int, nargs="+", default=[8, 4, 2, 1],
                    help="fallback batch sizes (reference [6,5,2,1] / [32,16,8])")
     args = p.parse_args(argv)

@@ -311,6 +311,7 @@ class Engine:
             gen = token_lm.generate_speech(
                 self.params.token_lm, tl, pre, sub, max_new_tokens=max_new,
             )
+            self.watch.sync(gen.tokens, gen.lengths)
         return gen.tokens, gen.lengths, max_new
 
     # ------------------------------------------------------------------ core synthesis
@@ -372,10 +373,13 @@ class Engine:
                 jnp.asarray(prompt_mel), jnp.asarray(mel_lens),
                 jnp.asarray(spk), sub,
             )
+            self.watch.sync(mel)
         with self.watch.span("vocoder"):
             wav = self._vocode(mel)
+            self.watch.sync(wav)
         # SINGLE host sync for the whole batch: fetch wavs + crop bounds
-        wav, tok_lens = jax.device_get((wav, tok_lens))
+        with self.watch.span("fetch"):
+            wav, tok_lens = jax.device_get((wav, tok_lens))
 
         # --- crop per row: drop prompt frames, keep generated region
         hop = self.cfg.audio.hop_length
@@ -497,8 +501,10 @@ class Engine:
                     jnp.asarray(fmask), use_cfg=True,
                     positions=jnp.asarray(pos),
                 )
+                self.watch.sync(mel)
             with self.watch.span("vocoder_chunk"):
                 wav = self._vocode(mel)
+                self.watch.sync(wav)
             lo = (fp_w + ctx_tokens) * up
             hi = lo + n_chunk * up
             mel_np, chunk = jax.device_get(

@@ -58,6 +58,14 @@ Question: What is the emotion of the speaker at the utterance "{text}"?
 Answer:"""
 
 EMOTION_LABELS_EN = ["happy", "sad", "neutral", "angry", "excited", "frustrated"]
+# ZH retrieval label set (7 labels incl. fear/surprise) — same inventory the
+# ZH trainer uses (reformat_data_ft_llm_cn.py:59-67); selected via the CLIs'
+# --language flag so the ZH flow doesn't classify against English labels.
+EMOTION_LABELS_ZH = ["快乐", "中性", "悲伤", "厌恶", "愤怒", "恐惧", "惊讶"]
+
+
+def labels_for_language(language: str) -> List[str]:
+    return list(EMOTION_LABELS_EN if language == "en" else EMOTION_LABELS_ZH)
 
 EMBED_MAX_TOKENS = 512       # RAG.py:129 truncation contract
 BIO_MAX_NEW = 250            # RAG.py:176-184
@@ -259,6 +267,13 @@ def build_style_db(
                 for s, e in zip(chunk, emotions)
             ],
         )
+        # verify the batch we just wrote (reference verified after insert,
+        # insert_embeddings.py:544-584) — catches corruption at the write
+        if not store.self_verify(sample=len(chunk)):
+            raise RuntimeError(
+                f"style DB self-verification failed for insert batch at {s0}"
+            )
+    # final sweep over EVERY row, exactly like the reference
     if not store.self_verify():
         raise RuntimeError("style DB self-verification failed (top-1 != self)")
 

@@ -197,17 +197,28 @@ class StyleStore:
 
     # ------------------------------------------------------------------ verification
 
-    def self_verify(self, sample: int = 16, tol: float = 1e-4) -> bool:
+    def self_verify(
+        self, sample: Optional[int] = None, tol: float = 1e-4,
+        chunk: int = 1024,
+    ) -> bool:
         """Insert self-check: searching each stored vector returns a perfect
-        (cosine = 1) top-1 hit (reference: insert_embeddings.py:544-584).
+        (cosine = 1) top-1 hit (reference: insert_embeddings.py:544-584 —
+        the reference verified EVERY inserted vector; so do we by default).
+        `sample=None` verifies all rows, chunked so the [Q, N] score matrix
+        stays bounded; an int verifies the LAST `sample` rows (the most
+        recently inserted batch — the rows an insert could have corrupted).
         Ties are allowed — distinct rows can hold identical vectors (same
         speaker + same emotion label yields the same combined embedding)."""
         n = len(self.meta)
         if n == 0:
             return True
-        take = min(sample, n)
-        rows = np.asarray(self.db[:take])
-        scores, idx = self.search_arrays(rows, k=1)
-        exact = idx[:, 0] == np.arange(take)
-        tied = scores[:, 0] >= 1.0 - tol
-        return bool((exact | tied).all())
+        lo = 0 if sample is None else max(0, n - min(sample, n))
+        for s0 in range(lo, n, chunk):
+            s1 = min(s0 + chunk, n)
+            rows = np.asarray(self.db[s0:s1])
+            scores, idx = self.search_arrays(rows, k=1)
+            exact = idx[:, 0] == np.arange(s0, s1)
+            tied = scores[:, 0] >= 1.0 - tol
+            if not (exact | tied).all():
+                return False
+        return True

@@ -20,6 +20,25 @@ class Stopwatch:
         self.spans: Dict[str, List[float]] = defaultdict(list)
         self.profile = profile
 
+    def sync(self, *values) -> None:
+        """Force device completion of `values` — ONLY when profiling.
+
+        JAX dispatch is async, and through the axon tunnel even
+        `block_until_ready` returns before the work lands; un-synced spans
+        measure dispatch (~µs) and the real cost hides in the pipeline's
+        final host fetch. Callers place `watch.sync(stage_outputs)` at the
+        end of each span; in profile mode we materialize every array leaf
+        on host (np.asarray forces a true transfer), so span times are wall
+        truth. In normal serving mode this is a no-op and stages stay
+        fully pipelined."""
+        if not self.profile:
+            return
+        import numpy as np
+
+        for leaf in jax.tree_util.tree_leaves(values):
+            if hasattr(leaf, "dtype"):
+                np.asarray(leaf)
+
     @contextlib.contextmanager
     def span(self, name: str) -> Iterator[None]:
         ctx = (

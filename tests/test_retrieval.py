@@ -103,3 +103,25 @@ def test_observed_similarity_range_contract():
     scores, idx = store.search_arrays(noisy, k=1)
     assert (idx[:, 0] == np.arange(8)).all()
     assert 0.7 < scores.mean() < 0.95
+
+
+def test_self_verify_covers_all_rows():
+    """Round-2 contract: default self_verify sweeps EVERY row (the reference
+    verified each inserted vector, insert_embeddings.py:544-584). A corrupted
+    row far beyond the first chunk boundary must be caught."""
+    import jax.numpy as jnp
+
+    db = _vectors(40, 24, seed=3)
+    store = StyleStore(dim=24, capacity=64)
+    store.insert(db, [{"file_id": str(i), "text": ""} for i in range(40)])
+    assert store.self_verify()  # full sweep, small chunks exercise the loop
+    assert store.self_verify(chunk=7)
+    # corrupt insert bookkeeping: row 33 lost its valid bit while meta still
+    # counts it — searching it can only hit OTHER rows (score < 1)
+    valid = np.asarray(store.valid).copy()
+    valid[33] = False
+    store.valid = jnp.asarray(valid)
+    assert not store.self_verify()
+    assert not store.self_verify(chunk=7)
+    # but a last-batch check that doesn't reach row 33 stays green
+    assert store.self_verify(sample=5)
