@@ -67,6 +67,14 @@ def run_matrix(engine, args, timbre_items: List[tuple], rng: random.Random) -> N
                 meta_rows.append(meta_lst_row(name, style_text, timbre_path, line))
     write_meta_lst(Path(args.result_dir) / "meta.lst", meta_rows)
     print(f"wrote {len(meta_rows)} rows to {args.result_dir}/meta.lst")
+    if getattr(args, "cal_sim", False):
+        from ..pipeline.simeval import score_meta_lst, write_report
+
+        report = score_meta_lst(
+            engine, Path(args.result_dir) / "meta.lst", args.result_dir
+        )
+        write_report(Path(args.result_dir) / "similarity.json", report)
+        print("similarity:", json.dumps(report["summary"]))
 
 
 def add_matrix_args(p: argparse.ArgumentParser) -> None:
@@ -78,6 +86,9 @@ def add_matrix_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--timbre_num", type=int, default=2)
     p.add_argument("--style_json", type=str, required=True,
                    help="style transcripts: [{file_id, zh_text}, ...]")
+    p.add_argument("--cal_sim", action="store_true",
+                   help="score speaker similarity over the emitted meta.lst "
+                        "(writes similarity.json next to it)")
 
 
 def main(argv=None) -> None:

@@ -1,0 +1,214 @@
+"""Speaker-similarity scoring (the "cal_sim" loop the reference fed but
+never shipped): vc_from_dir emits meta.lst rows `name|style_text|timbre_path|
+text` "for cal_sim" (reference vc_from_dir.py:203-217) and hands them to an
+external SV-cosine scorer. This module closes that loop natively: the
+framework's own timbre encoder (models/speaker.py, the CAM++-class x-vector)
+embeds synthesized wav + timbre prompt, and the score is their cosine.
+
+All embeddings for a manifest are computed in ONE jitted batched program
+(mel -> speaker encoder), padded to a shared frame bucket — no per-pair
+dispatch.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import speaker
+from ..ops import stft
+from ..utils.native_audio import load_wav_fast
+
+
+@dataclass
+class SimRow:
+    name: str
+    wav_path: str
+    timbre_path: str
+    similarity: float
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class SpeakerScorer:
+    """Batched SV-cosine scorer on the engine's timbre encoder."""
+
+    def __init__(self, engine, max_seconds: float = 30.0):
+        self.a = engine.cfg.audio
+        self.scfg = engine.cfg.speaker
+        self.params = engine.params.speaker
+        a = self.a
+        self._buckets = tuple(
+            a.prompt_sample_rate * s for s in (1, 2, 4, 8, 16, int(max_seconds))
+        )
+
+        def embed(wav16: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
+            mel16 = stft.log_mel_spectrogram(
+                wav16, a.prompt_sample_rate, a.prompt_n_fft,
+                a.prompt_hop_length, a.prompt_win_length,
+                n_mels=a.prompt_n_mels, fmax=a.prompt_fmax,
+            )
+            fmask = (
+                jnp.arange(mel16.shape[1])[None, :]
+                < (length[:, None] // a.prompt_hop_length) + 1
+            ).astype(jnp.float32)
+            return speaker.apply(self.params, self.scfg, mel16, fmask)
+
+        self._embed = jax.jit(embed)
+
+    def embed_wavs(self, wavs_16k: List[np.ndarray]) -> np.ndarray:
+        """[N wavs at prompt rate] -> [N, emb_dim] L2-normalized, batched."""
+        if not wavs_16k:
+            return np.zeros((0, self.scfg.emb_dim), np.float32)
+        lens = [max(1, len(w)) for w in wavs_16k]
+        T = _bucket(max(lens), self._buckets)
+        batch = np.zeros((len(wavs_16k), T), np.float32)
+        for i, w in enumerate(wavs_16k):
+            batch[i, : min(len(w), T)] = w[:T]
+        out = self._embed(jnp.asarray(batch), jnp.asarray(lens, jnp.int32))
+        return np.asarray(out)
+
+    def similarity(
+        self, synth_16k: List[np.ndarray], ref_16k: List[np.ndarray]
+    ) -> np.ndarray:
+        """Row-wise cosine between synthesized and reference speakers."""
+        assert len(synth_16k) == len(ref_16k)
+        embs = self.embed_wavs(list(synth_16k) + list(ref_16k))
+        n = len(synth_16k)
+        # embeddings are L2-normalized by the encoder: cosine = dot
+        return np.sum(embs[:n] * embs[n:], axis=-1)
+
+
+def read_meta_lst(path) -> List[Dict[str, str]]:
+    """Parse `name|style_text|timbre_path|text` rows (vc_from_dir.py:203-208)."""
+    rows = []
+    for line in Path(path).read_text(encoding="utf-8").splitlines():
+        if not line.strip():
+            continue
+        parts = line.split("|")
+        if len(parts) != 4:
+            raise ValueError(f"malformed meta.lst row: {line!r}")
+        rows.append({
+            "name": parts[0], "style_text": parts[1],
+            "timbre_path": parts[2], "text": parts[3],
+        })
+    return rows
+
+
+def score_meta_lst(
+    engine,
+    meta_lst_path,
+    wav_dir,
+    batch: int = 64,
+) -> Dict:
+    """Score every meta.lst row: cosine(spk(synth wav), spk(timbre wav)).
+
+    Synthesized wavs live at `wav_dir/{name}.wav` (vc_from_dir naming);
+    timbre wavs at the manifest's absolute `timbre_path`. Returns
+    {"rows": [...], "summary": {n, mean, p50, min, max}}.
+    """
+    rows = read_meta_lst(meta_lst_path)
+    scorer = SpeakerScorer(engine)
+    sr = engine.cfg.audio.prompt_sample_rate
+    out_rows: List[SimRow] = []
+    timbre_cache: Dict[str, np.ndarray] = {}
+    for s0 in range(0, len(rows), batch):
+        chunk = rows[s0 : s0 + batch]
+        synth, refs = [], []
+        for r in chunk:
+            p = Path(wav_dir) / (
+                r["name"] if r["name"].endswith(".wav") else r["name"] + ".wav"
+            )
+            synth.append(load_wav_fast(str(p), sr))
+            tp = r["timbre_path"]
+            if tp not in timbre_cache:
+                timbre_cache[tp] = load_wav_fast(tp, sr)
+            refs.append(timbre_cache[tp])
+        sims = scorer.similarity(synth, refs)
+        for r, s, p in zip(chunk, sims, synth):
+            out_rows.append(SimRow(
+                name=r["name"],
+                wav_path=str(Path(wav_dir) / (r["name"] + ".wav")),
+                timbre_path=r["timbre_path"],
+                similarity=float(s),
+            ))
+    sims = np.array([r.similarity for r in out_rows], np.float64)
+    summary = {
+        "n": int(sims.size),
+        "mean": float(sims.mean()) if sims.size else 0.0,
+        "p50": float(np.median(sims)) if sims.size else 0.0,
+        "min": float(sims.min()) if sims.size else 0.0,
+        "max": float(sims.max()) if sims.size else 0.0,
+    }
+    return {"rows": [r.__dict__ for r in out_rows], "summary": summary}
+
+
+# --------------------------------------------------------------- retrieval QA
+
+
+def retrieval_report(store, k: int = 5, reference_band=(0.83, 0.88)) -> Dict:
+    """Retrieval-quality report over a StyleStore.
+
+    - self-recall@k: fraction of rows whose self-query ranks themselves (or a
+      perfect-score tie) in the top-k — 1.0 on a healthy store.
+    - top-1 cross distance distribution: for each row, the best OTHER row's
+      cosine — the analogue of the reference's production query distances
+      (output_emb/search_results.json sits at ≈0.83-0.88), reported against
+      that band.
+    """
+    n = len(store.meta)
+    if n == 0:
+        return {"n": 0, "recall_at_k": 1.0, "cross_top1": {}, "k": k}
+    hit = 0
+    cross: List[float] = []
+    chunk = 1024
+    for s0 in range(0, n, chunk):
+        s1 = min(s0 + chunk, n)
+        rows = np.asarray(store.db[s0:s1])
+        kk = min(k + 1, n)
+        scores, idx = store.search_arrays(rows, k=kk)
+        for qi in range(s1 - s0):
+            row = s0 + qi
+            in_topk = (idx[qi, :k] == row).any() or (
+                scores[qi, :k] >= 1.0 - 1e-4
+            ).any()
+            hit += bool(in_topk)
+            others = [
+                float(scores[qi, j]) for j in range(kk) if idx[qi, j] != row
+            ]
+            if others:
+                cross.append(max(others))
+    cross_arr = np.array(cross, np.float64)
+    lo, hi = reference_band
+    report = {
+        "n": n,
+        "k": k,
+        "recall_at_k": hit / n,
+        "cross_top1": {
+            "mean": float(cross_arr.mean()) if cross_arr.size else 0.0,
+            "p50": float(np.median(cross_arr)) if cross_arr.size else 0.0,
+            "min": float(cross_arr.min()) if cross_arr.size else 0.0,
+            "max": float(cross_arr.max()) if cross_arr.size else 0.0,
+            "frac_in_reference_band": float(
+                ((cross_arr >= lo) & (cross_arr <= hi)).mean()
+            ) if cross_arr.size else 0.0,
+        },
+        "reference_band": [lo, hi],
+    }
+    return report
+
+
+def write_report(path, report: Dict) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text(json.dumps(report, indent=2, ensure_ascii=False))
