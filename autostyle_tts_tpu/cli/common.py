@@ -35,6 +35,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--profile", action="store_true",
                    help="per-stage wall-time report (+jax.profiler spans) at exit")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard request batches over N devices (data axis); "
+                        "0 = single device")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree (model axis); total devices "
+                        "used = dp*tp")
 
 
 def build_config(args) -> config_lib.Config:
@@ -72,7 +78,14 @@ def build_engine(args):
             jax.tree_util.tree_map(jnp.asarray, loaded)
         )
     profile = bool(getattr(args, "profile", False))
-    engine = Engine(cfg, params=params, seed=args.seed, profile=profile)
+    mesh = None
+    dp, tp = int(getattr(args, "dp", 0) or 0), int(getattr(args, "tp", 1) or 1)
+    if dp > 1 or tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=max(dp, 1), model=tp)
+    engine = Engine(cfg, params=params, seed=args.seed, profile=profile,
+                    mesh=mesh)
     if profile:
         import atexit
 

@@ -50,6 +50,10 @@ def build_embedder(args, cfg):
         lora0 = core.init_lora(jax.random.PRNGKey(0), ecfg, cfg.train.lora.r)
         lora = load_pytree(args.lora_checkpoint, lora0)
         lora_scale = cfg.train.lora.alpha / cfg.train.lora.r
+    if tokenizer is None and getattr(args, "bpe_path", None):
+        from ..models.bpe import BPETokenizer
+
+        tokenizer = BPETokenizer.load(args.bpe_path)
     return EmbedderService(
         ecfg, params, lora=lora, lora_scale=lora_scale, tokenizer=tokenizer,
         labels=labels_for_language(getattr(args, "language", "en")),
@@ -65,6 +69,9 @@ def add_embedder_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--language", type=str, default="en", choices=("en", "zh"),
                    help="emotion label set for classification prompts "
                         "(zh = the 7-label CN set, reformat_data_ft_llm_cn.py)")
+    p.add_argument("--bpe_path", type=str, default=None,
+                   help="trained framework BPE vocab (models/bpe.py) — 512 "
+                        "embed truncation then counts tokens, not bytes")
 
 
 def main(argv=None) -> None:

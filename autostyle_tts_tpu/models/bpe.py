@@ -1,0 +1,196 @@
+"""Byte-pair-encoding tokenizer with a deterministic CJK plane.
+
+Round-1 used pure UTF-8 bytes, which inflates ZH/JA sequences ~3x and made
+the embed-truncation limit 512 *bytes* vs the reference's 512 BPE tokens
+(reference milvus/RAG.py:129). This module adds the trained-vocab option
+(SURVEY §2.3.1 "SentencePiece-style tokenizer" plan) with a TPU-friendly
+STATIC id layout — ids never depend on vocab size, so checkpoints survive
+vocab growth:
+
+  [0..15]              specials/tags   (shared with models/frontend.py)
+  [16..271]            raw bytes       (universal fallback, zero OOV)
+  [272..8463]          learned BPE merges (rank-ordered, up to 8192)
+  [8464..29455]        CJK Unified Ideographs U+4E00..U+9FFF, 1 char = 1 id
+  [29456..29647]       Hiragana/Katakana U+3040..U+30FF
+
+CJK/kana need no training data: the codepoint IS the id (3 bytes -> 1 token,
+exactly the ~3x ZH compression BPE would learn anyway). Hangul and other
+scripts ride the byte fallback. ASCII text uses merges learned by train_bpe
+(greedy pair-merge, GPT-2-style pretokenizer). Train once, ship the JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections import Counter
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+from . import frontend
+
+MERGE_SLOTS = 8192
+BPE_BASE = frontend.BYTE_OFFSET + 256          # 272
+CJK_LO, CJK_HI = 0x4E00, 0x9FFF
+KANA_LO, KANA_HI = 0x3040, 0x30FF
+CJK_BASE = BPE_BASE + MERGE_SLOTS              # 8464
+KANA_BASE = CJK_BASE + (CJK_HI - CJK_LO + 1)   # 29456
+VOCAB_SIZE = KANA_BASE + (KANA_HI - KANA_LO + 1)  # 29648
+
+# GPT-2-class pretokenizer: keep leading space with the word so merges learn
+# " the"-style units; digits split from letters; punctuation runs separate.
+_PRETOK = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+
+
+def _pretokenize(text: str) -> List[bytes]:
+    return [m.group(0).encode("utf-8") for m in _PRETOK.finditer(text)]
+
+
+def train_bpe(texts: Iterable[str], n_merges: int = 4096) -> "BPETokenizer":
+    """Greedy BPE training over byte sequences of pretokens."""
+    n_merges = min(n_merges, MERGE_SLOTS)
+    words: Counter = Counter()
+    for t in texts:
+        t = frontend.normalize(t)
+        for w in _pretokenize(t):
+            # CJK/kana handled by the static plane — exclude from merges
+            if any(b >= 0x80 for b in w):
+                continue
+            words[w] += 1
+    # symbol sequences: tuples of bytes objects
+    seqs: Dict[Tuple[bytes, ...], int] = {
+        tuple(bytes([b]) for b in w): c for w, c in words.items()
+    }
+    merges: List[Tuple[bytes, bytes]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for seq, c in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (a, b), count = pairs.most_common(1)[0]
+        if count < 2:
+            break
+        merges.append((a, b))
+        ab = a + b
+        new_seqs: Dict[Tuple[bytes, ...], int] = {}
+        for seq, c in seqs.items():
+            out: List[bytes] = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[tuple(out)] = new_seqs.get(tuple(out), 0) + c
+        seqs = new_seqs
+    return BPETokenizer(merges)
+
+
+class BPETokenizer:
+    """Trained-vocab tokenizer; drop-in for the frontend byte encoder."""
+
+    vocab_size = VOCAB_SIZE
+
+    def __init__(self, merges: Sequence[Tuple[bytes, bytes]]):
+        if len(merges) > MERGE_SLOTS:
+            raise ValueError(f"too many merges: {len(merges)} > {MERGE_SLOTS}")
+        self.merges = list(merges)
+        self.ranks: Dict[Tuple[bytes, bytes], int] = {
+            pair: i for i, pair in enumerate(merges)
+        }
+        # token bytes -> id (merged tokens only; single bytes use BYTE_OFFSET)
+        self.token_id: Dict[bytes, int] = {
+            a + b: BPE_BASE + i for i, (a, b) in enumerate(merges)
+        }
+        self.id_bytes: Dict[int, bytes] = {
+            v: k for k, v in self.token_id.items()
+        }
+
+    # ------------------------------------------------------------ persistence
+
+    def save(self, path) -> None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "version": 1,
+            "merges": [
+                [a.decode("latin-1"), b.decode("latin-1")]
+                for a, b in self.merges
+            ],
+        }
+        Path(path).write_text(json.dumps(payload), encoding="utf-8")
+
+    @classmethod
+    def load(cls, path) -> "BPETokenizer":
+        payload = json.loads(Path(path).read_text(encoding="utf-8"))
+        merges = [
+            (a.encode("latin-1"), b.encode("latin-1"))
+            for a, b in payload["merges"]
+        ]
+        return cls(merges)
+
+    # --------------------------------------------------------------- encoding
+
+    def _bpe_bytes(self, word: bytes) -> List[int]:
+        """BPE-merge one pretoken's bytes by learned rank."""
+        parts: List[bytes] = [bytes([b]) for b in word]
+        while len(parts) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(parts) - 1):
+                r = self.ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        out: List[int] = []
+        for p in parts:
+            if len(p) == 1:
+                out.append(frontend.BYTE_OFFSET + p[0])
+            else:
+                out.append(self.token_id[p])
+        return out
+
+    def encode_segment(self, text: str) -> List[int]:
+        """Plain text (no tags) -> ids. CJK/kana chars map directly; other
+        runs go through pretokenize + BPE; any byte is always encodable."""
+        ids: List[int] = []
+        run: List[str] = []
+
+        def flush() -> None:
+            if not run:
+                return
+            for w in _pretokenize("".join(run)):
+                ids.extend(self._bpe_bytes(w))
+            run.clear()
+
+        for ch in text:
+            cp = ord(ch)
+            if CJK_LO <= cp <= CJK_HI:
+                flush()
+                ids.append(CJK_BASE + (cp - CJK_LO))
+            elif KANA_LO <= cp <= KANA_HI:
+                flush()
+                ids.append(KANA_BASE + (cp - KANA_LO))
+            else:
+                run.append(ch)
+        flush()
+        return ids
+
+    def decode_segment(self, ids: Iterable[int]) -> str:
+        bs = bytearray()
+        for i in ids:
+            i = int(i)
+            if frontend.BYTE_OFFSET <= i < BPE_BASE:
+                bs.append(i - frontend.BYTE_OFFSET)
+            elif BPE_BASE <= i < CJK_BASE and i in self.id_bytes:
+                bs.extend(self.id_bytes[i])
+            elif CJK_BASE <= i < KANA_BASE:
+                bs.extend(chr(CJK_LO + i - CJK_BASE).encode("utf-8"))
+            elif KANA_BASE <= i < VOCAB_SIZE:
+                bs.extend(chr(KANA_LO + i - KANA_BASE).encode("utf-8"))
+            # specials/tags dropped, like frontend.decode
+        return bs.decode("utf-8", errors="replace")

@@ -104,7 +104,14 @@ class Engine:
         params: Optional[EngineParams] = None,
         seed: int = 0,
         profile: bool = False,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh (parallel.mesh.make_mesh).
+        Params are placed under the TP rules (replicated when model=1) and
+        every batched stage shards its batch dim over the data axis — the
+        SAME jitted programs run 1-chip or a full slice, XLA inserts the
+        collectives (SURVEY §2.2 TPU-native equivalent column). Batches are
+        padded up to a multiple of the data-axis size."""
         assert vocoder.total_upsample(cfg.vocoder) == cfg.audio.hop_length, (
             "prod(vocoder.upsample_rates) must equal audio.hop_length so mel "
             "frames map 1:1 onto output samples (waveform crops rely on it)"
@@ -115,10 +122,57 @@ class Engine:
             from ..ops.quant import quantize_tree
 
             self.params.token_lm = quantize_tree(self.params.token_lm)
+        self.mesh = mesh
+        self.dp = 1
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.sharding import shard_params
+
+            self.dp = int(mesh.shape.get(DATA_AXIS, 1))
+            for name in ("token_lm", "cfm", "vocoder", "speaker",
+                         "speech_tokenizer"):
+                setattr(self.params, name,
+                        shard_params(mesh, getattr(self.params, name)))
         self.key = jax.random.PRNGKey(seed + 17)
         self.watch = Stopwatch(profile=profile)
         self.speakers: Dict[str, PromptFeatures] = {}
+        fcfg = getattr(cfg, "frontend", None)
+        self.text_tokenizer = frontend.make_tokenizer(fcfg)
+        self.normalize_numbers = bool(
+            getattr(fcfg, "normalize_numbers", True)
+        )
+        need_vocab = frontend.vocab_size(self.text_tokenizer)
+        assert cfg.token_lm.text_vocab_size >= need_vocab, (
+            f"token_lm.text_vocab_size={cfg.token_lm.text_vocab_size} < "
+            f"frontend vocab {need_vocab} (set token_lm.text_vocab_size="
+            f"{need_vocab} when frontend.tokenizer='bpe')"
+        )
         self._build_stages()
+
+    # ------------------------------------------------------------------ mesh helpers
+
+    def _dev(self, x, dtype=None):
+        """Host array -> device, batch-sharded over the data axis when a mesh
+        is set and the leading dim divides it (B=1 streaming rows stay
+        replicated — still correct, just not data-parallel)."""
+        a = jnp.asarray(x) if dtype is None else jnp.asarray(x, dtype)
+        if (
+            self.mesh is not None and a.ndim >= 1
+            and a.shape[0] >= self.dp and a.shape[0] % self.dp == 0
+        ):
+            from ..parallel.sharding import batch_sharding
+
+            return jax.device_put(a, batch_sharding(self.mesh, a.ndim))
+        return a
+
+    def _pad_batch(self, *lists):
+        """Pad parallel per-item lists to a multiple of dp by repeating the
+        first item. Returns (padded_lists, original_n)."""
+        n = len(lists[0])
+        if self.dp <= 1 or n % self.dp == 0:
+            return lists, n
+        pad = self.dp - (n % self.dp)
+        return tuple(list(l) + [l[0]] * pad for l in lists), n
 
     # ------------------------------------------------------------------ jitted stages
 
@@ -218,20 +272,21 @@ class Engine:
     def prompt_features(self, wavs_16k: Sequence[np.ndarray]) -> List[PromptFeatures]:
         """Featurize a batch of 16 kHz prompt wavs (padded to one bucket)."""
         a = self.cfg.audio
-        lens = [len(w) for w in wavs_16k]
+        (wavs_padded,), n_real = self._pad_batch(list(wavs_16k))
+        lens = [len(w) for w in wavs_padded]
         T = _bucket(max(lens), tuple(a.prompt_sample_rate * s for s in (1, 2, 4, 8, 16, 30)))
-        batch = np.zeros((len(wavs_16k), T), np.float32)
-        for i, w in enumerate(wavs_16k):
+        batch = np.zeros((len(wavs_padded), T), np.float32)
+        for i, w in enumerate(wavs_padded):
             batch[i, : min(len(w), T)] = w[:T]
         with self.watch.span("featurize"):
-            out = self._featurize(jnp.asarray(batch), jnp.asarray(lens, jnp.int32))
+            out = self._featurize(self._dev(batch), self._dev(lens, jnp.int32))
             # ONE host fetch for all four outputs — separate np.asarray calls
             # pay a device round-trip each (76 ms/call saved over the tunnel)
             tokens, tok_mask, spk, mel24 = jax.device_get(out)
         out = []
         hop_tokens = a.prompt_hop_length * int(np.prod(self.cfg.speech_tokenizer.strides))
         mel24_per_sec = a.sample_rate // a.hop_length
-        for i, w in enumerate(wavs_16k):
+        for i, w in enumerate(wavs_padded[:n_real]):
             n_tok = max(1, min(lens[i] // hop_tokens, tokens.shape[1]))
             n_f24 = max(1, min(
                 int(len(w) / a.prompt_sample_rate * mel24_per_sec), mel24.shape[1]
@@ -287,10 +342,13 @@ class Engine:
             (st + " " + tx).strip() if st else tx
             for st, tx in zip(style_texts, texts)
         ]
+        tok, tn = self.text_tokenizer, self.normalize_numbers
         text_ids, text_lens = frontend.encode_batch(
             full_texts, languages, width=_bucket(
-                max(len(frontend.encode(t)) for t in full_texts), TEXT_BUCKETS
+                max(len(frontend.encode(t, tokenizer=tok, numbers=tn))
+                    for t in full_texts), TEXT_BUCKETS
             ),
+            tokenizer=tok, numbers=tn,
         )
         sty_w = _bucket(max(len(f.tokens) for f in style_feats), TOKEN_BUCKETS)
         sty = np.zeros((B, sty_w), np.int32)
@@ -303,8 +361,8 @@ class Engine:
         with self.watch.span("lm_generate"):
             pre = token_lm.build_prefix(
                 self.params.token_lm, tl,
-                jnp.asarray(text_ids), jnp.asarray(text_lens),
-                jnp.asarray(sty), jnp.asarray(sty_lens), jnp.asarray(spk),
+                self._dev(text_ids), self._dev(text_lens),
+                self._dev(sty), self._dev(sty_lens), self._dev(spk),
             )
             pre = token_lm.pad_prefix(pre)  # flash prefill block alignment
             self.key, sub = jax.random.split(self.key)
@@ -368,10 +426,10 @@ class Engine:
         self.key, sub = jax.random.split(self.key)
         with self.watch.span("cfm_sample"):
             mel, tok_lens = self._mel_cond(
-                jnp.asarray(prompt_tokens), jnp.asarray(p_lens),
+                self._dev(prompt_tokens), self._dev(p_lens),
                 gen_tokens, gen_lens,
-                jnp.asarray(prompt_mel), jnp.asarray(mel_lens),
-                jnp.asarray(spk), sub,
+                self._dev(prompt_mel), self._dev(mel_lens),
+                self._dev(spk), sub,
             )
             self.watch.sync(mel)
         with self.watch.span("vocoder"):
@@ -646,4 +704,12 @@ class Engine:
         tim = list(timbre_wavs)
         for (kind, i, _), f in zip(pending, feats):
             (sty if kind == "sty" else tim)[i] = f
-        return self._synthesize(tts_texts, style_texts, sty, tim, max_seconds=max_seconds)
+        # mesh mode: pad the request batch to a dp multiple so every stage
+        # shards cleanly on the data axis; extra rows are dropped at the end
+        (tts_texts, style_texts, sty, tim), n_real = self._pad_batch(
+            list(tts_texts), list(style_texts), sty, tim
+        )
+        out = self._synthesize(
+            tts_texts, style_texts, sty, tim, max_seconds=max_seconds
+        )
+        return out[:n_real]

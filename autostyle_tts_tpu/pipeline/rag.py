@@ -85,18 +85,28 @@ class EmbedderService:
         labels: Sequence[str] = tuple(EMOTION_LABELS_EN),
         tokenizer=None,
     ):
-        """`tokenizer`: optional HF tokenizer — REQUIRED when `params` come
-        from a real checkpoint (utils/hf_convert.py), whose embedding table is
-        indexed by its BPE ids, not our byte frontend's. Defaults to the
-        self-contained byte tokenizer."""
+        """`tokenizer`: optional tokenizer. Three modes:
+        - None: self-contained byte frontend (models/frontend.py)
+        - models.bpe.BPETokenizer: trained framework vocab (shares the
+          frontend's special ids; truncation counts TOKENS, matching the
+          reference's 512-BPE-token contract, RAG.py:129)
+        - HF tokenizer: REQUIRED when `params` come from a real checkpoint
+          (utils/hf_convert.py), whose embedding table is indexed by its own
+          BPE ids."""
         self.cfg = cfg
         self.params = params
         self.lora = lora
         self.lora_scale = lora_scale
         self.labels = list(labels)
         self.key = jax.random.PRNGKey(0)
+        self._frontend_bpe = hasattr(tokenizer, "encode_segment")
         self.tokenizer = tokenizer
-        if tokenizer is None:
+        if self._frontend_bpe:
+            assert cfg.vocab_size >= tokenizer.vocab_size, (
+                f"embedder vocab_size={cfg.vocab_size} < BPE vocab "
+                f"{tokenizer.vocab_size}"
+            )
+        if tokenizer is None or self._frontend_bpe:
             self.pad_id = frontend.PAD_ID
             self.eos_id = frontend.EOS_ID
         else:
@@ -115,14 +125,16 @@ class EmbedderService:
     # ------------------------------------------------------------------ tokenization
 
     def _encode(self, text: str, max_len: int) -> np.ndarray:
-        if self.tokenizer is None:
-            return frontend.encode(text, add_eos=False)[:max_len]
+        if self.tokenizer is None or self._frontend_bpe:
+            return frontend.encode(
+                text, add_eos=False, tokenizer=self.tokenizer
+            )[:max_len]
         ids = self.tokenizer.encode(text)
         return np.asarray(ids[:max_len], np.int32)
 
     def _decode(self, ids) -> str:
-        if self.tokenizer is None:
-            return frontend.decode(ids)
+        if self.tokenizer is None or self._frontend_bpe:
+            return frontend.decode(ids, tokenizer=self.tokenizer)
         return self.tokenizer.decode([int(i) for i in ids], skip_special_tokens=True)
 
     # ------------------------------------------------------------------ embeddings

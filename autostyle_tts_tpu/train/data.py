@@ -92,7 +92,9 @@ def make_acoustic_batches(
         B = len(chunk)
 
         text_ids, text_lens = frontend.encode_batch(
-            [c.text for c in chunk], width=text_width
+            [c.text for c in chunk], width=text_width,
+            tokenizer=getattr(engine, "text_tokenizer", None),
+            numbers=getattr(engine, "normalize_numbers", False),
         )
 
         T_tok = max(len(f.tokens) for f in feats)

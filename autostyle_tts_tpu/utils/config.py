@@ -224,6 +224,22 @@ class TrainConfig:
 # ----------------------------------------------------------------------------- mesh
 
 
+@dataclass
+class FrontendConfig:
+    """Text frontend: tokenizer choice + text normalization.
+
+    tokenizer: 'byte' (self-contained, zero OOV) or 'bpe' (trained vocab —
+    models/bpe.py static layout: merges + direct CJK/kana plane, ~3x shorter
+    ZH sequences; reference SURVEY §2.3.1 tokenizer row). With 'bpe',
+    token_lm.text_vocab_size must be >= bpe.VOCAB_SIZE (29648).
+    normalize_numbers: verbalize numerals/dates/abbreviations (textnorm.py)
+    on the TTS path."""
+
+    tokenizer: str = "byte"
+    bpe_path: str = ""
+    normalize_numbers: bool = True
+
+
 @dataclass(frozen=True)
 class MeshConfig:
     """Logical device mesh. data axis shards the batch; model axis shards
@@ -246,6 +262,7 @@ class Config:
     speaker: SpeakerEncoderConfig = field(default_factory=SpeakerEncoderConfig)
     speech_tokenizer: SpeechTokenizerConfig = field(default_factory=SpeechTokenizerConfig)
     retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     seed: int = 42
@@ -262,7 +279,9 @@ def tiny_config() -> Config:
         ffn_dim=128, max_seq_len=128,
     )
     cfg.token_lm = TokenLMConfig(
-        text_vocab_size=256, speech_vocab_size=67, dim=64, n_layers=2,
+        # 272 = frontend.VOCAB_SIZE: byte ids run to 271; 256 would make the
+        # embedding gather clamp the top 16 byte ids
+        text_vocab_size=272, speech_vocab_size=67, dim=64, n_layers=2,
         n_heads=4, n_kv_heads=4, ffn_dim=128, max_seq_len=256,
     )
     cfg.cfm = CFMConfig(

@@ -99,3 +99,59 @@ def test_tp_embedder_embed_on_mesh():
             jax.device_put(mask, batch_sharding(mesh, 2)),
         )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_engine_mesh_dp_parity():
+    """Round-2 contract (VERDICT #6): the FULL Engine path — featurize ->
+    LM -> CFM -> vocoder — runs with Engine(mesh=...) and matches the
+    single-device engine bit-for-bit (same seed, same programs; GSPMD only
+    changes placement)."""
+    from autostyle_tts_tpu.pipeline.engine import Engine
+
+    cfg = tiny_config()
+    mesh = make_mesh(data=4, model=1)
+    sr = cfg.audio.prompt_sample_rate
+    t = np.arange(sr) / sr
+    rng = np.random.default_rng(7)
+    texts = ["hello world", "the quick brown fox", "ok then", "more text here"]
+    styles = ["style one", "style two", "style three", "style four"]
+    sty_wavs = [
+        (0.3 * np.sin(2 * np.pi * f * t)
+         + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+        for f in (200, 250, 300, 350)
+    ]
+    tim_wavs = [
+        (0.3 * np.sin(2 * np.pi * f * t)
+         + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+        for f in (180, 220, 260, 320)
+    ]
+
+    ref = Engine(cfg, seed=3).synthesize_batch(texts, styles, sty_wavs, tim_wavs)
+    eng = Engine(cfg, seed=3, mesh=mesh)
+    assert eng.dp == 4
+    with mesh:
+        got = eng.synthesize_batch(texts, styles, sty_wavs, tim_wavs)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(g, r, atol=1e-4)
+
+
+def test_engine_mesh_pads_ragged_batch():
+    """Batch of 3 on a dp=4 mesh: padded internally, 3 outputs returned."""
+    from autostyle_tts_tpu.pipeline.engine import Engine
+
+    cfg = tiny_config()
+    mesh = make_mesh(data=4, model=1)
+    sr = cfg.audio.prompt_sample_rate
+    t = np.arange(sr) / sr
+    w = [(0.3 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+         for f in (200, 260, 330)]
+    eng = Engine(cfg, seed=1, mesh=mesh)
+    with mesh:
+        out = eng.synthesize_batch(
+            ["a b c", "d e", "f"], ["s1", "s2", "s3"], w, w
+        )
+    assert len(out) == 3
+    for o in out:
+        assert o.size > 0 and np.isfinite(o).all()

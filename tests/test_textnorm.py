@@ -1,0 +1,89 @@
+"""Golden tests for EN/ZH text normalization (SURVEY §2.3.1 frontend row:
+the reference engine shipped ttsfrd-class TN; round-1 gap VERDICT#3)."""
+
+import pytest
+
+from autostyle_tts_tpu.models.textnorm import (
+    normalize_en, normalize_zh, num_to_words_en, num_to_words_zh,
+    ordinal_to_words_en, year_to_words_en,
+)
+
+
+@pytest.mark.parametrize("n,w", [
+    (0, "zero"), (7, "seven"), (13, "thirteen"), (20, "twenty"),
+    (21, "twenty-one"), (99, "ninety-nine"), (100, "one hundred"),
+    (101, "one hundred one"), (123, "one hundred twenty-three"),
+    (1000, "one thousand"), (1234, "one thousand two hundred thirty-four"),
+    (1000000, "one million"),
+    (2500013, "two million five hundred thousand thirteen"),
+    (-5, "minus five"),
+])
+def test_num_to_words_en(n, w):
+    assert num_to_words_en(n) == w
+
+
+@pytest.mark.parametrize("n,w", [
+    (1, "first"), (2, "second"), (3, "third"), (4, "fourth"), (5, "fifth"),
+    (9, "ninth"), (12, "twelfth"), (20, "twentieth"), (21, "twenty-first"),
+    (32, "thirty-second"), (100, "one hundredth"), (103, "one hundred third"),
+])
+def test_ordinal_en(n, w):
+    assert ordinal_to_words_en(n) == w
+
+
+@pytest.mark.parametrize("n,w", [
+    (1999, "nineteen ninety-nine"), (2024, "twenty twenty-four"),
+    (2005, "two thousand five"), (1900, "nineteen hundred"),
+    (1805, "eighteen oh five"),
+])
+def test_year_en(n, w):
+    assert year_to_words_en(n) == w
+
+
+@pytest.mark.parametrize("src,dst", [
+    ("I have 123 apples.", "I have one hundred twenty-three apples."),
+    ("It costs $5.20 now.", "It costs five dollars twenty cents now."),
+    ("$1 only", "one dollar only"),
+    ("45% done", "forty-five percent done"),
+    ("the 3rd time", "the third time"),
+    ("meet at 3:30 pm", "meet at three thirty pm"),
+    ("meet at 12:05", "meet at twelve oh five"),
+    ("at 9:00 sharp", "at nine o'clock sharp"),
+    ("pi is 3.14", "pi is three point one four"),
+    ("born in 1987", "born in nineteen eighty-seven"),
+    ("the 1990s were wild", "the nineteen nineties were wild"),
+    ("Dr. Smith lives on St. James Ave.",
+     "doctor Smith lives on saint James avenue"),
+    ("call 5551234567 now", "call five five five one two three four five six"
+     " seven now"),
+    ("No. 7 wins", "number seven wins"),
+    ("1,234 items", "one thousand two hundred thirty-four items"),
+    ("e.g. cats vs. dogs", "for example cats versus dogs"),
+])
+def test_normalize_en_golden(src, dst):
+    assert normalize_en(src) == dst
+
+
+@pytest.mark.parametrize("n,w", [
+    (0, "零"), (5, "五"), (10, "十"), (14, "十四"), (20, "二十"),
+    (105, "一百零五"), (123, "一百二十三"), (1000, "一千"),
+    (1001, "一千零一"), (10000, "一万"), (10500, "一万零五百"),
+    (123456789, "一亿二千三百四十五万六千七百八十九"),
+])
+def test_num_to_words_zh(n, w):
+    assert num_to_words_zh(n) == w
+
+
+@pytest.mark.parametrize("src,dst", [
+    ("我有123个苹果", "我有一百二十三个苹果"),
+    ("2024年5月3日", "二零二四年五月三日"),
+    ("现在是3:30", "现在是三点三十分"),
+    ("现在是3:05", "现在是三点零五分"),
+    ("涨了45%", "涨了百分之四十五"),
+    ("价格是3.14", "价格是三点一四"),
+    ("¥250", "二百五十元"),
+    ("总共100元", "总共一百元"),
+    ("电话13812345678", "电话一三八一二三四五六七八"),
+])
+def test_normalize_zh_golden(src, dst):
+    assert normalize_zh(src) == dst
