@@ -32,6 +32,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint", type=str, default=None,
                    help="engine params snapshot (.npz)")
     p.add_argument("--tiny", action="store_true", help="tiny test geometry")
+    p.add_argument("--demo", action="store_true",
+                   help="demo geometry: ~15M-param stack at production "
+                        "audio rates (trainable on the synthcorpus)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--profile", action="store_true",
                    help="per-stage wall-time report (+jax.profiler spans) at exit")
@@ -46,6 +49,7 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
 def build_config(args) -> config_lib.Config:
     cfg = (
         config_lib.tiny_config() if args.tiny
+        else config_lib.demo_config() if getattr(args, "demo", False)
         else config_lib.load(args.config) if args.config
         else config_lib.Config()
     )

@@ -26,7 +26,11 @@ def main(argv=None) -> None:
     p.add_argument("--manifest", type=str, required=True)
     p.add_argument("--wav_dir", type=str, default="")
     p.add_argument("--stage", type=str, required=True,
-                   choices=["token_lm", "cfm", "vocoder", "vocoder_gan"])
+                   choices=["tokenizer", "token_lm", "cfm", "vocoder",
+                            "vocoder_gan"])
+    p.add_argument("--n_phoneme_classes", type=int, default=0,
+                   help="tokenizer stage: phoneme label classes (0 = the "
+                        "synthcorpus inventory)")
     p.add_argument("--out_dir", type=str, required=True)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=4)
@@ -48,6 +52,50 @@ def main(argv=None) -> None:
         total_steps=max(1, args.epochs * len(items) // args.batch_size),
     )
     mgr = CheckpointManager(args.out_dir, save_total_limit=2)
+
+    if args.stage == "tokenizer":
+        from ..train.synthcorpus import N_PHONEME_CLASSES
+
+        import jax.numpy as jnp
+
+        n_cls = args.n_phoneme_classes or N_PHONEME_CLASSES
+        params = {
+            # COPY: the step donates its param buffers, but the engine's
+            # featurizer (used by the data pipeline) still reads the original
+            # speech-tokenizer tree every batch
+            "tok": jax.tree_util.tree_map(
+                jnp.copy, engine.params.speech_tokenizer
+            ),
+            "head": acoustic.init_tokenizer_head(
+                jax.random.PRNGKey(args.seed + 2), cfg.speech_tokenizer, n_cls
+            ),
+        }
+        step_fn = acoustic.make_tokenizer_step(
+            cfg.speech_tokenizer, a, opt, n_cls
+        )
+        opt_state = opt.init(params)
+        step = mgr.latest_step() or 0
+        if step:
+            params = mgr.restore(params)
+        key = jax.random.PRNGKey(args.seed)
+        for epoch in range(args.epochs):
+            for batch in make_acoustic_batches(
+                engine, items, args.batch_size, args.prompt_seconds,
+                seed=args.seed + epoch,
+            ):
+                key, sub = jax.random.split(key)
+                params, opt_state, loss, ce, acc = step_fn(
+                    params, opt_state, batch["tokenizer"], sub
+                )
+                step += 1
+                if step % args.log_every == 0:
+                    print(f"step {step}: loss={float(loss):.4f} "
+                          f"phn_ce={float(ce):.4f} phn_acc={float(acc):.3f}")
+                if step % args.save_every == 0:
+                    mgr.save(step, params)
+        mgr.save(max(step, 1), params)
+        print(f"done: {step} steps -> {args.out_dir}")
+        return
 
     if args.stage == "token_lm":
         params = engine.params.token_lm

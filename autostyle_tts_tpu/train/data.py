@@ -35,6 +35,7 @@ class AcousticItem:
     wav_path: str
     text: str
     speaker: str = ""
+    phn_path: str = ""   # optional 25 Hz phoneme-label .npy (tokenizer stage)
 
 
 def load_acoustic_manifest(path: str, wav_dir: str = "") -> List[AcousticItem]:
@@ -46,13 +47,17 @@ def load_acoustic_manifest(path: str, wav_dir: str = "") -> List[AcousticItem]:
     items = []
     for r in rows:
         wav = r.get("wav") or r.get("wav_path") or r.get("file_id", "")
+        phn = r.get("phn", "")
         if wav_dir:
             wav = str(Path(wav_dir) / (wav if wav.endswith(".wav") else wav + ".wav"))
+            if phn:
+                phn = str(Path(wav_dir) / phn)
         items.append(
             AcousticItem(
                 wav_path=wav,
                 text=r.get("text", r.get("zh_text", "")),
                 speaker=str(r.get("speaker", "")),
+                phn_path=phn,
             )
         )
     return items
@@ -137,7 +142,27 @@ def make_acoustic_batches(
             m = min(len(w24), wav24_len)
             wav24[i, :m] = w24[:m]
 
+        # tokenizer stage: raw 16 kHz wavs + 25 Hz phoneme labels (aligned to
+        # tokens: T_tok tokens cover T_tok * strides * hop samples)
+        sub = int(np.prod(cfg.speech_tokenizer.strides))
+        T16 = T_tok * sub * a.prompt_hop_length
+        wav16 = np.zeros((B, T16), np.float32)
+        lens16 = np.zeros((B,), np.int32)
+        phn = np.zeros((B, T_tok), np.int32)
+        for i, (c, w) in enumerate(zip(chunk, wavs)):
+            m = min(len(w), T16)
+            wav16[i, :m] = w[:m]
+            lens16[i] = m
+            if c.phn_path:
+                lab = np.load(c.phn_path)
+                n = min(len(lab), T_tok)
+                phn[i, :n] = lab[:n]
+
         yield {
+            "tokenizer": {
+                "wav16": jnp.asarray(wav16), "len": jnp.asarray(lens16),
+                "phn": jnp.asarray(phn),
+            },
             "token_lm": {
                 "text": jnp.asarray(text_ids), "text_len": jnp.asarray(text_lens),
                 "style_tokens": jnp.asarray(sty), "style_len": jnp.asarray(sty_lens),

@@ -271,6 +271,29 @@ class Config:
     quantize_lm_int8: bool = False
 
 
+def demo_config() -> Config:
+    """Small-but-real stack at PRODUCTION audio rates (24 kHz out / 16 kHz
+    prompts): ~15M params total, sized so the full tokenizer->LM->CFM->vocoder
+    pipeline trains to speech-like resynthesis on one v5e in ~1-2 h on the
+    synthcorpus (train/synthcorpus.py) and the trained snapshot ships as a
+    test fixture. Same code paths as the flagship config."""
+    cfg = Config()
+    cfg.token_lm = TokenLMConfig(
+        text_vocab_size=272, speech_vocab_size=515, dim=256, n_layers=4,
+        n_heads=4, n_kv_heads=4, ffn_dim=1024, max_seq_len=1024,
+    )
+    cfg.cfm = CFMConfig(
+        dim=256, n_layers=4, n_heads=4, ffn_dim=1024,
+        token_vocab_size=515, n_steps=10,
+    )
+    cfg.vocoder = VocoderConfig(base_channels=192)
+    cfg.speaker = SpeakerEncoderConfig(channels=256)
+    cfg.speech_tokenizer = SpeechTokenizerConfig(
+        dim=192, n_layers=3, n_heads=4, ffn_dim=768, codebook_size=512,
+    )
+    return cfg
+
+
 def tiny_config() -> Config:
     """Small geometry for tests / CPU mesh dry-runs. Same code paths, tiny dims."""
     cfg = Config()
