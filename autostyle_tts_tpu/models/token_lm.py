@@ -136,7 +136,8 @@ class SpeechGen(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "sampler", "min_tokens"),
+    static_argnames=("cfg", "max_new_tokens", "sampler", "min_tokens",
+                     "kv_int8"),
 )
 def generate_speech(
     params: Params,
@@ -147,14 +148,16 @@ def generate_speech(
     max_new_tokens: int,
     sampler: SamplerConfig = SamplerConfig(temperature=1.0, top_k=25),
     min_tokens: int = 2,
+    kv_int8: bool = False,
 ) -> SpeechGen:
     """Single-program prefill + scan decode over speech tokens with EOS and
     a min-length floor (EOS logit suppressed before min_tokens). The KV cache
-    is allocated INSIDE the program (never crosses the host boundary)."""
+    is allocated INSIDE the program (never crosses the host boundary);
+    kv_int8 stores it quantized (half the per-step HBM cache traffic)."""
     ccfg = core_config(cfg)
     B, P, D = prefix.embeds.shape
     S_max = P + max_new_tokens + 1
-    cache = core.make_cache(ccfg, B, S_max)
+    cache = core.make_cache(ccfg, B, S_max, quantized=kv_int8)
     slot = jnp.arange(S_max, dtype=jnp.int32)
     offset = (P - prefix.length).astype(jnp.int32)
 

@@ -141,11 +141,9 @@ def _proj(x, w, lora_a=None, lora_b=None, scale: float = 0.0):
     return y.astype(x.dtype)
 
 
-class LayerState(NamedTuple):
-    """Per-layer KV cache slice inside the scan."""
-
-    k: jnp.ndarray  # [B, S_max, K, hd]
-    v: jnp.ndarray
+# Per-layer KV cache slice inside the scan: {"k","v"} ([B, S_max, K, hd]),
+# plus {"k_scale","v_scale"} ([B, S_max, K] f32) when int8-quantized.
+LayerCache = Dict[str, jnp.ndarray]
 
 
 def _layer(
@@ -158,10 +156,10 @@ def _layer(
     sin: jnp.ndarray,
     positions: jnp.ndarray,         # [B, T]
     mask: jnp.ndarray,              # [B, 1, T, S]
-    cache: Optional[LayerState],
+    cache: Optional[LayerCache],
     cache_start: Optional[jnp.ndarray],
     flash_offset: Optional[jnp.ndarray] = None,  # [B] -> use pallas flash
-) -> Tuple[jnp.ndarray, Optional[LayerState]]:
+) -> Tuple[jnp.ndarray, Optional[LayerCache]]:
     B, T, D = h.shape
     H, K, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -182,14 +180,30 @@ def _layer(
     k = apply_rope(k, cos, sin, positions)
 
     new_cache = None
-    if cache is not None:
+    quant_cache = cache is not None and "k_scale" in cache
+    if quant_cache:
+        # int8 KV cache: quantize the new keys/values per (position, head)
+        # and store values + scales; attention dequantizes on the fly
+        # (ops/attention.sdpa_quant — the dots read int8 from HBM)
+        from ..ops.attention import quantize_kv, sdpa_quant
+
+        kqn, ksn = quantize_kv(k)
+        vqn, vsn = quantize_kv(v)
+        upd = lambda buf, val, idx: jax.lax.dynamic_update_slice(buf, val, idx)
+        new_cache = {
+            "k": upd(cache["k"], kqn, (0, cache_start, 0, 0)),
+            "v": upd(cache["v"], vqn, (0, cache_start, 0, 0)),
+            "k_scale": upd(cache["k_scale"], ksn, (0, cache_start, 0)),
+            "v_scale": upd(cache["v_scale"], vsn, (0, cache_start, 0)),
+        }
+    elif cache is not None:
         ck = jax.lax.dynamic_update_slice(
-            cache.k, k.astype(cache.k.dtype), (0, cache_start, 0, 0)
+            cache["k"], k.astype(cache["k"].dtype), (0, cache_start, 0, 0)
         )
         cv = jax.lax.dynamic_update_slice(
-            cache.v, v.astype(cache.v.dtype), (0, cache_start, 0, 0)
+            cache["v"], v.astype(cache["v"].dtype), (0, cache_start, 0, 0)
         )
-        new_cache = LayerState(ck, cv)
+        new_cache = {"k": ck, "v": cv}
         k_att, v_att = ck, cv
     else:
         k_att, v_att = k, v
@@ -201,6 +215,11 @@ def _layer(
         from ..ops.pallas_attn import flash_attention
 
         attn = flash_attention(q, k, v, flash_offset).reshape(B, T, H * hd)
+    elif quant_cache:
+        attn = sdpa_quant(
+            q, new_cache["k"], new_cache["k_scale"],
+            new_cache["v"], new_cache["v_scale"], mask,
+        ).reshape(B, T, H * hd)
     else:
         attn = sdpa(q, k_att, v_att, mask).reshape(B, T, H * hd)
     h = h + _proj(attn, lp["wo"], *g("wo"), lora_scale)
@@ -222,9 +241,17 @@ class ForwardResult(NamedTuple):
 
 
 def make_cache(
-    cfg: TransformerConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    cfg: TransformerConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+    quantized: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    if quantized:
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+        }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -270,16 +297,12 @@ def forward(
 
     def body(h, xs):
         lp, lo, lc = xs
-        layer_cache = LayerState(lc["k"], lc["v"]) if lc is not None else None
         fn = _layer
         if remat:
             fn = jax.checkpoint(_layer, static_argnums=(4,))
-        h, new_cache = fn(
+        h, out_cache = fn(
             h, lp, lo, lora_scale, cfg, cos, sin, positions, mask,
-            layer_cache, cache_start, flash_offset,
-        )
-        out_cache = (
-            {"k": new_cache.k, "v": new_cache.v} if new_cache is not None else None
+            lc, cache_start, flash_offset,
         )
         return h, out_cache
 

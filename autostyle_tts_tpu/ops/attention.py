@@ -73,6 +73,50 @@ def sdpa(
     return out.astype(q.dtype)
 
 
+def sdpa_quant(
+    q: jnp.ndarray,                       # [B, T, H, hd]
+    kq: jnp.ndarray,                      # [B, S, K, hd] int8
+    ks: jnp.ndarray,                      # [B, S, K] f32 per-position scales
+    vq: jnp.ndarray,                      # [B, S, K, hd] int8
+    vs: jnp.ndarray,                      # [B, S, K] f32
+    mask: Optional[jnp.ndarray] = None,   # [B, 1|H, T, S]
+) -> jnp.ndarray:
+    """Attention over an int8-quantized KV cache.
+
+    Bandwidth-shaped: the dots read int8 straight from HBM (the f32 convert
+    fuses into the dot producer — the dequantized cache is never
+    materialized). The per-(position, head) scales are scalar across hd, so
+    k's scale applies to the LOGITS after the q·k dot and v's scale folds
+    into the probabilities before the p·v dot — two [*, S]-shaped
+    multiplies instead of re-scaling [S, hd] tensors. Halves decode-step
+    cache traffic vs bf16."""
+    h, kh = q.shape[2], kq.shape[2]
+    rep = h // kh
+    kq = _repeat_kv(kq, rep)
+    vq = _repeat_kv(vq, rep)
+    ks_h = jnp.repeat(ks, rep, axis=2).transpose(0, 2, 1)[:, :, None, :]
+    vs_h = jnp.repeat(vs, rep, axis=2).transpose(0, 2, 1)[:, :, None, :]
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bthd,bshd->bhts", q.astype(jnp.float32), kq.astype(jnp.float32)
+    ) * (scale * ks_h)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1) * vs_h
+    out = jnp.einsum("bhts,bshd->bthd", probs, vq.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def quantize_kv(x: jnp.ndarray) -> tuple:
+    """[B, T, K, hd] -> (int8 values, f32 per-(B,T,K) scales)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, s
+
+
 def causal_mask(t: int, s: int, offset: int = 0) -> jnp.ndarray:
     """[1, 1, T, S] causal mask; query i attends key j iff j <= i + offset
     (offset = number of cached tokens during incremental decode)."""

@@ -368,6 +368,7 @@ class Engine:
             self.key, sub = jax.random.split(self.key)
             gen = token_lm.generate_speech(
                 self.params.token_lm, tl, pre, sub, max_new_tokens=max_new,
+                kv_int8=getattr(self.cfg, "quantize_lm_kv_int8", False),
             )
             self.watch.sync(gen.tokens, gen.lengths)
         return gen.tokens, gen.lengths, max_new

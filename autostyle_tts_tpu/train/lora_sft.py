@@ -398,6 +398,11 @@ def train(
 
     best_f1, best_step, step = -1.0, start, start
     history = []
+    # real tensorboard events (reference: report_to="tensorboard",
+    # ft_llm.py:290) alongside history.json
+    from ..utils.tb_events import EventWriter
+
+    tb = EventWriter(Path(out_dir) / "tb")
     done = step >= total_steps
     for epoch in range(tcfg.epochs):
         if done:
@@ -420,12 +425,14 @@ def train(
             step += 1
             if step % log_every == 0:
                 history.append({"step": step, "loss": float(loss)})
+                tb.scalar("train/loss", float(loss), step)
             if eval_samples and labels and step % tcfg.eval_every == 0:
                 f1, _ = evaluate_generation(
                     params, cfg, eval_samples, labels, lora=lora,
                     lora_scale=tcfg.lora.alpha / tcfg.lora.r,
                 )
                 history.append({"step": step, "eval_weighted_f1": f1})
+                tb.scalar("eval/weighted_f1", f1, step)
                 if f1 > best_f1:
                     best_f1, best_step = f1, step
                     save_pytree(best_path, lora, metadata={"f1": f1, "step": step})
@@ -443,6 +450,7 @@ def train(
     )
     if best_f1 < 0 and not best_path.exists():  # no eval ran: final = best
         save_pytree(best_path, lora, metadata={"step": step})
+    tb.close()
     Path(out_dir, "history.json").write_text(json.dumps(history, indent=2))
     return {"lora": lora, "best_f1": best_f1, "best_step": best_step,
             "steps": step, "history": history, "best_checkpoint": str(best_path)}

@@ -69,12 +69,25 @@ def load_pytree(path: PathLike, like: Any) -> Any:
 
 
 class CheckpointManager:
-    """step-numbered checkpoints with save_total_limit + latest discovery."""
+    """step-numbered checkpoints with save_total_limit + latest discovery.
 
-    def __init__(self, directory: PathLike, save_total_limit: int = 1):
+    backend='npz' (default): single-host portable .npz pytrees.
+    backend='orbax': orbax.checkpoint PyTree handler — sharded/distributed
+    array support for multi-host training (HF Trainer save_steps equivalent
+    was single-host too; orbax is the TPU-native upgrade path)."""
+
+    def __init__(self, directory: PathLike, save_total_limit: int = 1,
+                 backend: str = "npz"):
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.limit = save_total_limit
+        assert backend in ("npz", "orbax"), backend
+        self.backend = backend
+        self._orbax = None
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            self._orbax = ocp.PyTreeCheckpointer()
 
     def _ckpts(self):
         out = []
@@ -86,8 +99,21 @@ class CheckpointManager:
 
     def save(self, step: int, tree: Any, metadata: Optional[dict] = None) -> Path:
         d = self.dir / f"checkpoint-{step}"
-        d.mkdir(parents=True, exist_ok=True)
-        save_pytree(d / "state.npz", tree, metadata={"step": step, **(metadata or {})})
+        if self.backend == "orbax":
+            import jax
+
+            self._orbax.save(
+                (d / "state.orbax").absolute(),
+                jax.tree_util.tree_map(lambda x: x, tree),
+            )
+            d.mkdir(parents=True, exist_ok=True)
+            (d / "metadata.json").write_text(
+                __import__("json").dumps({"step": step, **(metadata or {})})
+            )
+        else:
+            d.mkdir(parents=True, exist_ok=True)
+            save_pytree(d / "state.npz", tree,
+                        metadata={"step": step, **(metadata or {})})
         for _, old in self._ckpts()[: -self.limit] if self.limit else []:
             shutil.rmtree(old, ignore_errors=True)
         return d
@@ -100,4 +126,10 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.dir}")
-        return load_pytree(self.dir / f"checkpoint-{step}" / "state.npz", like)
+        d = self.dir / f"checkpoint-{step}"
+        if (d / "state.orbax").exists():
+            import orbax.checkpoint as ocp
+
+            orbax = self._orbax or ocp.PyTreeCheckpointer()
+            return orbax.restore((d / "state.orbax").absolute(), item=like)
+        return load_pytree(d / "state.npz", like)

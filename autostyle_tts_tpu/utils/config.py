@@ -269,6 +269,9 @@ class Config:
     # int8 weight-only quantization of the token LM at engine init
     # (ops/quant.py; ~25% faster decode on v5e, half the weight HBM traffic)
     quantize_lm_int8: bool = False
+    # int8 KV cache for LM decode (ops/attention.sdpa_quant): halves the
+    # per-step cache read; scales fold into logits/probs so dots read int8
+    quantize_lm_kv_int8: bool = False
 
 
 def demo_config() -> Config:

@@ -190,3 +190,58 @@ def test_pallas_mel_1d_input_and_blocks():
     ref = stft.log_mel_spectrogram(x, 16000, 400, 160, n_mels=40, impl="xla")
     got = stft.log_mel_spectrogram(x, 16000, 400, 160, n_mels=40, impl="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_kv_int8_cache_decode_parity():
+    """int8 KV cache (sdpa_quant) tracks the bf16-cache decode closely and
+    produces identical greedy tokens on the tiny LM."""
+    import numpy as np
+
+    from autostyle_tts_tpu.models import token_lm
+    from autostyle_tts_tpu.ops.sampling import SamplerConfig
+    from autostyle_tts_tpu.utils.config import tiny_config
+
+    cfg = tiny_config().token_lm
+    params = token_lm.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B = 2
+    text = jnp.asarray(rng.integers(16, 200, (B, 12)), jnp.int32)
+    tl = jnp.full((B,), 12, jnp.int32)
+    sty = jnp.asarray(rng.integers(0, 64, (B, 6)), jnp.int32)
+    sl = jnp.full((B,), 6, jnp.int32)
+    spk = jnp.asarray(rng.standard_normal((B, cfg.spk_dim)), jnp.float32)
+    pre = token_lm.build_prefix(params, cfg, text, tl, sty, sl, spk)
+    greedy = SamplerConfig(temperature=0.0)
+    g_ref = token_lm.generate_speech(
+        params, cfg, pre, jax.random.PRNGKey(1), max_new_tokens=24,
+        sampler=greedy, kv_int8=False,
+    )
+    g_q = token_lm.generate_speech(
+        params, cfg, pre, jax.random.PRNGKey(1), max_new_tokens=24,
+        sampler=greedy, kv_int8=True,
+    )
+    np.testing.assert_array_equal(np.asarray(g_ref.tokens),
+                                  np.asarray(g_q.tokens))
+    np.testing.assert_array_equal(np.asarray(g_ref.lengths),
+                                  np.asarray(g_q.lengths))
+
+
+def test_sdpa_quant_matches_sdpa():
+    import numpy as np
+
+    from autostyle_tts_tpu.ops.attention import (
+        causal_mask, quantize_kv, sdpa, sdpa_quant,
+    )
+
+    rng = np.random.default_rng(2)
+    B, T, S, H, K, hd = 2, 4, 4, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, K, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, K, hd)), jnp.float32)
+    mask = jnp.broadcast_to(causal_mask(T, S), (B, 1, T, S))
+    ref = sdpa(q, k, v, mask)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    got = sdpa_quant(q, kq, ks, vq, vs, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
