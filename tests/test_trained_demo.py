@@ -1,0 +1,124 @@
+"""Trained-demo fixture: load the demo-geometry engine snapshot trained on
+the formant corpus (scripts/train_synth_demo.sh) and verify the stack learned
+— phonetic tokens, speech-like resynthesis, speaker similarity.
+
+Fixture: tests/fixtures/demo_engine.npz (bf16 leaves) + demo_corpus_sample/
+(a few held-out utterances + manifest). Skipped when absent (the fixture is
+produced by the TPU training run)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+FIXTURE = Path(__file__).parent / "fixtures" / "demo_engine.npz"
+SAMPLE = Path(__file__).parent / "fixtures" / "demo_corpus_sample"
+
+pytestmark = pytest.mark.skipif(
+    not FIXTURE.exists(), reason="trained demo fixture not built yet"
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    import jax
+    import jax.numpy as jnp
+
+    from autostyle_tts_tpu.pipeline.engine import Engine, EngineParams
+    from autostyle_tts_tpu.utils.checkpoint import load_pytree
+    from autostyle_tts_tpu.utils.config import demo_config
+
+    cfg = demo_config()
+    init = EngineParams.init(jax.random.PRNGKey(0), cfg)
+    tree = load_pytree(FIXTURE, init.tree())
+    params = EngineParams.from_tree(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), tree)
+    )
+    return Engine(cfg, params=params)
+
+
+def _rows():
+    return json.loads((SAMPLE / "manifest.json").read_text())
+
+
+def _load(engine, row):
+    from autostyle_tts_tpu.utils.native_audio import load_wav_fast
+
+    return load_wav_fast(str(SAMPLE / row["wav"]),
+                         engine.cfg.audio.prompt_sample_rate)
+
+
+def test_tokenizer_is_phonetic(engine):
+    """Trained speech tokens must track phoneme identity: frames with the
+    same phoneme label map to a small set of codes — measured as label
+    purity ABOVE chance by a wide margin."""
+    rows = _rows()
+    from collections import Counter, defaultdict
+
+    votes = defaultdict(Counter)
+    total = 0
+    for row in rows:
+        wav = _load(engine, row)
+        phn = np.load(SAMPLE / row["phn"])
+        feats = engine.prompt_features([wav])[0]
+        n = min(len(feats.tokens), len(phn))
+        for t, p in zip(feats.tokens[:n], phn[:n]):
+            votes[int(p)][int(t)] += 1
+            total += 1
+    # purity: fraction of frames whose code is their phoneme's majority code
+    pure = sum(c.most_common(1)[0][1] for c in votes.values())
+    purity = pure / max(total, 1)
+    n_classes = len(votes)
+    chance = 1.0 / max(n_classes, 1) * 3  # generous chance bound
+    assert purity > max(0.25, chance), (purity, n_classes)
+
+
+def test_resynthesis_is_speech_like(engine):
+    """Zero-shot synthesis from held-out text: output must be finite, long
+    enough, energetic, and spectrally speech-like (energy concentrated below
+    4 kHz like the voiced corpus, not white noise)."""
+    rows = _rows()
+    prompt = _load(engine, rows[0])
+    out = next(iter(engine.inference_zero_shot(
+        rows[-1]["text"], rows[0]["text"], prompt
+    )))
+    wav = np.asarray(out["tts_speech"]).ravel()
+    sr = engine.cfg.audio.sample_rate
+    assert np.isfinite(wav).all()
+    assert wav.size > 0.3 * sr  # at least 0.3 s of audio
+    rms = float(np.sqrt((wav ** 2).mean()))
+    assert rms > 0.01
+    spec = np.abs(np.fft.rfft(wav * np.hanning(wav.size))) ** 2
+    freqs = np.fft.rfftfreq(wav.size, 1 / sr)
+    low = spec[freqs < 4000].sum()
+    ratio = low / max(spec.sum(), 1e-9)
+    assert ratio > 0.75, f"spectral low-band ratio {ratio:.2f} — noise-like"
+
+
+def test_speaker_similarity_trained(engine):
+    """SV-cosine: synthesis conditioned on speaker A's timbre scores closer
+    to A than to a different speaker B."""
+    rows = _rows()
+    by_spk = {}
+    for r in rows:
+        by_spk.setdefault(r["speaker"], r)
+    spks = list(by_spk.values())
+    if len(spks) < 2:
+        pytest.skip("sample has one speaker")
+    a, b = spks[0], spks[1]
+    wav_a, wav_b = _load(engine, a), _load(engine, b)
+    out = engine.inference_tts_with_st(
+        rows[-1]["text"], a["text"], wav_a, wav_a
+    )
+    wav = np.asarray(next(iter(out))["tts_speech"]).ravel()
+    from autostyle_tts_tpu.ops.resample import resample_poly_np
+    from autostyle_tts_tpu.pipeline.simeval import SpeakerScorer
+
+    scorer = SpeakerScorer(engine)
+    wav16 = resample_poly_np(
+        wav, engine.cfg.audio.sample_rate, engine.cfg.audio.prompt_sample_rate
+    )
+    sim_a = scorer.similarity([wav16], [wav_a])[0]
+    sim_b = scorer.similarity([wav16], [wav_b])[0]
+    assert sim_a > sim_b, (sim_a, sim_b)
