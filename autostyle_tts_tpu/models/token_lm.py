@@ -174,8 +174,8 @@ def generate_speech(
 
     eos, padt = cfg.speech_eos, cfg.speech_pad
 
-    def step(carry, i):
-        cache, cur_logits, gen_len, done, key = carry
+    def step(carry):
+        cache, cur_logits, gen_len, done, key, i, toks = carry
         key, sub = jax.random.split(key)
         logits = cur_logits.at[:, padt].set(-1e30).at[:, cfg.speech_bos].set(-1e30)
         logits = jnp.where(
@@ -187,6 +187,7 @@ def generate_speech(
         is_eos = tok == eos
         gen_len = gen_len + (~done & ~is_eos)
         done = done | is_eos
+        toks = jax.lax.dynamic_update_slice(toks, tok[:, None], (0, i))
         emb = params["speech_emb"][tok][:, None, :]
         positions = (P + i - offset)[:, None]
         smask = (valid & (slot[None, :] <= P + i))[:, None, None, :]
@@ -195,15 +196,23 @@ def generate_speech(
             cache=cache, cache_start=P + i, skip_logits=True,
         )
         nxt = core.matmul_any(out.hidden[:, 0], head).astype(jnp.float32)
-        return (out.cache, nxt, gen_len, done, key), tok
+        return (out.cache, nxt, gen_len, done, key, i + 1, toks)
+
+    def cond(carry):
+        # EARLY EXIT: stop the decode loop as soon as every row has emitted
+        # EOS — short utterances don't pay for the max_new bucket (a scan
+        # would run all steps regardless)
+        *_, done, _, i, _ = carry
+        return (i < max_new_tokens) & ~jnp.all(done)
 
     zeros = jnp.zeros((B,), jnp.int32)
-    (cache, _, gen_len, done, _), toks = jax.lax.scan(
-        step,
-        (out.cache, next_logits, zeros, jnp.zeros((B,), bool), key),
-        jnp.arange(max_new_tokens),
+    toks0 = jnp.full((B, max_new_tokens), padt, jnp.int32)
+    (cache, _, gen_len, done, _, _, toks) = jax.lax.while_loop(
+        cond, step,
+        (out.cache, next_logits, zeros, jnp.zeros((B,), bool), key,
+         jnp.int32(0), toks0),
     )
-    return SpeechGen(tokens=toks.T, lengths=gen_len)
+    return SpeechGen(tokens=toks, lengths=gen_len)
 
 
 # ----------------------------------------------------------------------- training

@@ -283,3 +283,41 @@ def test_speech_tokenizer_pad_invariance(cfg):
         outs.append(np.asarray(res.tokens)[0, :10])
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_generate_speech_early_exit_semantics():
+    """while_loop decode: rows that hit EOS early emit pad afterwards and
+    lengths don't grow; forcing EOS as the only choice stops the loop."""
+    import numpy as np
+
+    from autostyle_tts_tpu.models import token_lm
+    from autostyle_tts_tpu.ops.sampling import SamplerConfig
+    from autostyle_tts_tpu.utils.config import tiny_config
+
+    cfg = tiny_config().token_lm
+    params = token_lm.init_params(jax.random.PRNGKey(0), cfg)
+    # bias the speech head so EOS is argmax everywhere -> greedy stops at
+    # min_tokens immediately
+    head = np.asarray(params["speech_head"], np.float32)
+    head = head * 0.0
+    head[:, cfg.speech_eos] = 10.0
+    params["speech_head"] = jnp.asarray(head)
+    rng = np.random.default_rng(0)
+    B = 2
+    pre = token_lm.build_prefix(
+        params, cfg,
+        jnp.asarray(rng.integers(16, 200, (B, 8)), jnp.int32),
+        jnp.full((B,), 8, jnp.int32),
+        jnp.asarray(rng.integers(0, 64, (B, 4)), jnp.int32),
+        jnp.full((B,), 4, jnp.int32),
+        jnp.asarray(rng.standard_normal((B, cfg.spk_dim)), jnp.float32),
+    )
+    g = token_lm.generate_speech(
+        params, cfg, pre, jax.random.PRNGKey(1), max_new_tokens=32,
+        sampler=SamplerConfig(temperature=0.0), min_tokens=3,
+    )
+    toks = np.asarray(g.tokens)
+    lens = np.asarray(g.lengths)
+    assert (lens == 3).all()                       # 3 forced + EOS
+    assert (toks[:, 3] == cfg.speech_eos).all()
+    assert (toks[:, 4:] == cfg.speech_pad).all()   # pad after EOS

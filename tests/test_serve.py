@@ -84,3 +84,31 @@ def test_serve_style_index_from_db(tmp_path, capsys):
              if l.startswith("{")]
     ok = [l for l in lines if l.get("id") == "x"]
     assert ok and "wav" in ok[0]
+
+
+def test_serve_with_dp_mesh(tmp_path, capsys):
+    """--dp N: the serving engine shards request batches over the data axis
+    (VERDICT #6: mesh-aware serving as a product surface, not just tests)."""
+    from autostyle_tts_tpu.cli import serve
+
+    style = _make_wav(tmp_path / "s.wav", f=200, seed=1)
+    timbre = _make_wav(tmp_path / "t.wav", f=300, seed=2)
+    reqs = [
+        {"id": f"r{i}", "text": f"request number {i}", "style_text": "st",
+         "style_wav": style, "timbre_wav": timbre}
+        for i in range(4)
+    ]
+    rq = tmp_path / "requests.jsonl"
+    rq.write_text("\n".join(json.dumps(r) for r in reqs) + "\n")
+    out_dir = tmp_path / "served_dp"
+    serve.main([
+        "--tiny", "--requests", str(rq), "--result_dir", str(out_dir),
+        "--batch", "4", "--max_seconds", "5", "--dp", "4",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    by_id = {l.get("id"): l for l in lines if "id" in l}
+    for i in range(4):
+        assert by_id[f"r{i}"]["samples"] > 0
+    done = [l for l in lines if l.get("done")]
+    assert done and done[0]["served"] == 4
