@@ -46,6 +46,7 @@ def main(argv=None) -> None:
     cfg = engine.cfg
     items = load_acoustic_manifest(args.manifest, args.wav_dir)
     print(f"{len(items)} training items")
+    feat_cache = {}  # per-item wav+features, reused across epochs
     a = cfg.audio
     opt = acoustic.default_optimizer(
         args.learning_rate,
@@ -81,7 +82,7 @@ def main(argv=None) -> None:
         for epoch in range(args.epochs):
             for batch in make_acoustic_batches(
                 engine, items, args.batch_size, args.prompt_seconds,
-                seed=args.seed + epoch,
+                seed=args.seed + epoch, stages=("tokenizer",), cache=feat_cache,
             ):
                 key, sub = jax.random.split(key)
                 params, opt_state, loss, ce, acc = step_fn(
@@ -129,7 +130,7 @@ def main(argv=None) -> None:
         for epoch in range(args.epochs):
             for batch in make_acoustic_batches(
                 engine, items, args.batch_size, args.prompt_seconds,
-                seed=args.seed + epoch,
+                seed=args.seed + epoch, stages=("vocoder",), cache=feat_cache,
             ):
                 key, k1, k2 = jax.random.split(key, 3)
                 d_params, d_st, d_loss = disc_step(
@@ -155,7 +156,7 @@ def main(argv=None) -> None:
     for epoch in range(args.epochs):
         for batch in make_acoustic_batches(
             engine, items, args.batch_size, args.prompt_seconds,
-            seed=args.seed + epoch,
+            seed=args.seed + epoch, stages=(batch_key,), cache=feat_cache,
         ):
             key, sub = jax.random.split(key)
             params, opt_state, loss = step_fn(params, opt_state, batch[batch_key], sub)

@@ -158,7 +158,7 @@ def make_tokenizer_step(
     audio_cfg,
     optimizer,
     n_phoneme_classes: int,
-    aux_weight: float = 1.0,
+    aux_weight: float = 2.0,
 ):
     """Speech-tokenizer training: VQ-VAE losses + a supervised PHONETIC
     objective — a linear head on the pre-VQ encoding predicts frame-level
@@ -193,12 +193,11 @@ def make_tokenizer_step(
                 p["tok"]["codebook"], res.pre_vq,
                 res.token_mask.astype(jnp.float32),
             )
-            # phoneme CE on the QUANTIZED code vectors (straight-through):
-            # gradients flow to the encoder AND pull chosen codebook entries
-            # toward phonetically separable positions
-            chosen = p["tok"]["codebook"][res.tokens]
-            feat = res.pre_vq + jax.lax.stop_gradient(chosen - res.pre_vq)
-            logits = feat.astype(jnp.float32) @ p["head"]
+            # phoneme CE on the PRE-VQ encoder features: a clean gradient
+            # that makes the encoding phoneme-separable; the codebook loss
+            # then pulls codes onto that separable manifold, so TOKEN
+            # phoneme-purity follows (measured in tests/test_trained_demo)
+            logits = res.pre_vq.astype(jnp.float32) @ p["head"]
             # token count can exceed the 25 Hz label width by one frame
             # (mel framing rounds up) — clamp to the common span
             T = min(logits.shape[1], batch["phn"].shape[1])

@@ -77,8 +77,17 @@ def make_acoustic_batches(
     text_width: int = 128,
     seed: int = 0,
     shuffle: bool = True,
+    stages: tuple = ("tokenizer", "token_lm", "cfm", "vocoder"),
+    cache: Optional[Dict[int, tuple]] = None,
 ) -> Iterator[Dict[str, Dict]]:
-    """Yields {"token_lm": ..., "cfm": ..., "vocoder": ...} batch dicts."""
+    """Yields batch dicts keyed by the requested `stages`.
+
+    `cache`: optional {item index: (wav, feats-or-None)} dict that persists
+    ACROSS epochs — wav decode and prompt featurization run once per item,
+    not once per (item, epoch). Featurization fetches mel/token buffers to
+    host (~MBs over a TPU tunnel), so re-running it every epoch dominated
+    step time (~2 s/batch -> ~0.15 s/batch cached). The tokenizer stage
+    needs no features at all, so it never featurizes."""
     import jax.numpy as jnp
 
     cfg = engine.cfg
@@ -86,94 +95,129 @@ def make_acoustic_batches(
     rate = cfg.token_lm.token_rate
     prompt_tokens_n = int(prompt_seconds * rate)
     up = cfg.cfm.upsample
+    need_feats = any(s in stages for s in ("token_lm", "cfm", "vocoder"))
+    if cache is None:
+        cache = {}
 
     rng = np.random.default_rng(seed)
-    order = rng.permutation(len(items)) if shuffle else np.arange(len(items))
-    for s0 in range(0, len(order) - batch_size + 1, batch_size):
+    if shuffle:
+        # length-grouped batching: sort by a duration proxy (text length)
+        # with jitter, batch neighbours, then shuffle batch ORDER — batches
+        # stay length-homogeneous (less padding) while epochs still vary
+        proxy = np.array([len(it.text) for it in items], np.float64)
+        proxy = proxy + rng.normal(0, max(proxy.std(), 1.0) * 0.1, proxy.shape)
+        order = np.argsort(proxy)
+        starts = list(range(0, len(order) - batch_size + 1, batch_size))
+        rng.shuffle(starts)
+    else:
+        order = np.arange(len(items))
+        starts = list(range(0, len(order) - batch_size + 1, batch_size))
+    for s0 in starts:
         idx = order[s0 : s0 + batch_size]
         chunk = [items[i] for i in idx]
-        wavs = _load_wavs([c.wav_path for c in chunk], a.prompt_sample_rate)
-        feats = engine.prompt_features(wavs)
+        missing = [int(i) for i in idx if int(i) not in cache]
+        if missing:
+            new_wavs = _load_wavs(
+                [items[i].wav_path for i in missing], a.prompt_sample_rate
+            )
+            new_feats = (
+                engine.prompt_features(new_wavs) if need_feats
+                else [None] * len(new_wavs)
+            )
+            for i, w, f in zip(missing, new_wavs, new_feats):
+                cache[i] = (w, f)
+        wavs = [cache[int(i)][0] for i in idx]
+        feats = [cache[int(i)][1] for i in idx]
         B = len(chunk)
 
-        text_ids, text_lens = frontend.encode_batch(
-            [c.text for c in chunk], width=text_width,
-            tokenizer=getattr(engine, "text_tokenizer", None),
-            numbers=getattr(engine, "normalize_numbers", False),
-        )
-
-        T_tok = max(len(f.tokens) for f in feats)
-        tokens = np.zeros((B, T_tok), np.int32)
-        tok_lens = np.zeros((B,), np.int32)
-        F = T_tok * up
-        M = cfg.cfm.n_mels
-        mel = np.zeros((B, F, M), np.float32)
-        spk = np.zeros((B, feats[0].spk.shape[0]), np.float32)
-        prompt_mask = np.zeros((B, F), np.float32)
-        frame_mask = np.zeros((B, F), np.float32)
-        sty = np.zeros((B, min(prompt_tokens_n, T_tok)), np.int32)
-        sty_lens = np.zeros((B,), np.int32)
-        tgt_w = max(T_tok - prompt_tokens_n, 1)
-        targets = np.zeros((B, tgt_w), np.int32)
-        tgt_lens = np.zeros((B,), np.int32)
-        for i, f in enumerate(feats):
-            n = len(f.tokens)
-            tokens[i, :n] = f.tokens
-            tok_lens[i] = n
-            nm = min(f.mel24.shape[0], n * up)
-            mel[i, :nm] = f.mel24[:nm]
-            spk[i] = f.spk
-            n_p = min(prompt_tokens_n, max(n // 2, 1))
-            prompt_mask[i, : n_p * up] = 1.0
-            frame_mask[i, : n * up] = 1.0
-            sty[i, :n_p] = f.tokens[:n_p]
-            sty_lens[i] = n_p
-            n_t = min(n - n_p, tgt_w)
-            targets[i, :n_t] = f.tokens[n_p : n_p + n_t]
-            tgt_lens[i] = n_t
-
-        # 24 kHz waveform aligned to the mel frames (vocoder pairs)
-        wav24_len = F * a.hop_length
-        wav24 = np.zeros((B, wav24_len), np.float32)
-        from ..ops.resample import resample_poly_np
-
-        for i, w in enumerate(wavs):
-            w24 = resample_poly_np(w, a.prompt_sample_rate, a.sample_rate)
-            m = min(len(w24), wav24_len)
-            wav24[i, :m] = w24[:m]
-
-        # tokenizer stage: raw 16 kHz wavs + 25 Hz phoneme labels (aligned to
-        # tokens: T_tok tokens cover T_tok * strides * hop samples)
         sub = int(np.prod(cfg.speech_tokenizer.strides))
-        T16 = T_tok * sub * a.prompt_hop_length
-        wav16 = np.zeros((B, T16), np.float32)
-        lens16 = np.zeros((B,), np.int32)
-        phn = np.zeros((B, T_tok), np.int32)
-        for i, (c, w) in enumerate(zip(chunk, wavs)):
-            m = min(len(w), T16)
-            wav16[i, :m] = w[:m]
-            lens16[i] = m
-            if c.phn_path:
-                lab = np.load(c.phn_path)
-                n = min(len(lab), T_tok)
-                phn[i, :n] = lab[:n]
+        hop_tokens = sub * a.prompt_hop_length  # 16 kHz samples per token
+        if need_feats:
+            T_tok = max(len(f.tokens) for f in feats)
+        else:
+            T_tok = max(1, max(len(w) for w in wavs) // hop_tokens)
+        # round T_tok up to 1-second multiples: a handful of static batch
+        # shapes per corpus instead of one compile per distinct max-length
+        T_tok = max(rate, ((T_tok + rate - 1) // rate) * rate)
+        out: Dict[str, Dict] = {}
 
-        yield {
-            "tokenizer": {
-                "wav16": jnp.asarray(wav16), "len": jnp.asarray(lens16),
-                "phn": jnp.asarray(phn),
-            },
-            "token_lm": {
+        if need_feats:
+            text_ids, text_lens = frontend.encode_batch(
+                [c.text for c in chunk], width=text_width,
+                tokenizer=getattr(engine, "text_tokenizer", None),
+                numbers=getattr(engine, "normalize_numbers", False),
+            )
+            tokens = np.zeros((B, T_tok), np.int32)
+            tok_lens = np.zeros((B,), np.int32)
+            F = T_tok * up
+            M = cfg.cfm.n_mels
+            mel = np.zeros((B, F, M), np.float32)
+            spk = np.zeros((B, feats[0].spk.shape[0]), np.float32)
+            prompt_mask = np.zeros((B, F), np.float32)
+            frame_mask = np.zeros((B, F), np.float32)
+            sty = np.zeros((B, min(prompt_tokens_n, T_tok)), np.int32)
+            sty_lens = np.zeros((B,), np.int32)
+            tgt_w = max(T_tok - prompt_tokens_n, 1)
+            targets = np.zeros((B, tgt_w), np.int32)
+            tgt_lens = np.zeros((B,), np.int32)
+            for i, f in enumerate(feats):
+                n = len(f.tokens)
+                tokens[i, :n] = f.tokens
+                tok_lens[i] = n
+                nm = min(f.mel24.shape[0], n * up)
+                mel[i, :nm] = f.mel24[:nm]
+                spk[i] = f.spk
+                n_p = min(prompt_tokens_n, max(n // 2, 1))
+                prompt_mask[i, : n_p * up] = 1.0
+                frame_mask[i, : n * up] = 1.0
+                sty[i, :n_p] = f.tokens[:n_p]
+                sty_lens[i] = n_p
+                n_t = min(n - n_p, tgt_w)
+                targets[i, :n_t] = f.tokens[n_p : n_p + n_t]
+                tgt_lens[i] = n_t
+            out["token_lm"] = {
                 "text": jnp.asarray(text_ids), "text_len": jnp.asarray(text_lens),
                 "style_tokens": jnp.asarray(sty), "style_len": jnp.asarray(sty_lens),
                 "spk": jnp.asarray(spk),
                 "targets": jnp.asarray(targets), "target_len": jnp.asarray(tgt_lens),
-            },
-            "cfm": {
+            }
+            out["cfm"] = {
                 "tokens": jnp.asarray(tokens), "mel": jnp.asarray(mel),
                 "spk": jnp.asarray(spk),
                 "prompt_mask": jnp.asarray(prompt_mask),
                 "frame_mask": jnp.asarray(frame_mask),
-            },
-            "vocoder": {"mel": jnp.asarray(mel), "wav": jnp.asarray(wav24)},
-        }
+            }
+
+        if "vocoder" in stages:
+            # 24 kHz waveform aligned to the mel frames (vocoder pairs)
+            wav24_len = T_tok * up * a.hop_length
+            wav24 = np.zeros((B, wav24_len), np.float32)
+            from ..ops.resample import resample_poly_np
+
+            for i, w in enumerate(wavs):
+                w24 = resample_poly_np(w, a.prompt_sample_rate, a.sample_rate)
+                m = min(len(w24), wav24_len)
+                wav24[i, :m] = w24[:m]
+            out["vocoder"] = {"mel": out["cfm"]["mel"], "wav": jnp.asarray(wav24)}
+
+        if "tokenizer" in stages:
+            # raw 16 kHz wavs + 25 Hz phoneme labels (aligned to tokens:
+            # T_tok tokens cover T_tok * strides * hop samples)
+            T16 = T_tok * hop_tokens
+            wav16 = np.zeros((B, T16), np.float32)
+            lens16 = np.zeros((B,), np.int32)
+            phn = np.zeros((B, T_tok), np.int32)
+            for i, (c, w) in enumerate(zip(chunk, wavs)):
+                m = min(len(w), T16)
+                wav16[i, :m] = w[:m]
+                lens16[i] = m
+                if c.phn_path:
+                    lab = np.load(c.phn_path)
+                    n = min(len(lab), T_tok)
+                    phn[i, :n] = lab[:n]
+            out["tokenizer"] = {
+                "wav16": jnp.asarray(wav16), "len": jnp.asarray(lens16),
+                "phn": jnp.asarray(phn),
+            }
+
+        yield out
