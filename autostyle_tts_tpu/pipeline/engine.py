@@ -620,11 +620,17 @@ class Engine:
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Style/timbre-split synthesis — the project's custom API
         (reference call sites vc_from_dir.py:198, tts_with_rag.py:195).
-        stream=True yields ~1 s chunks (first audio after LM + one chunk)."""
-        feats = self.prompt_features(
-            [np.asarray(style_wav).reshape(-1), np.asarray(timbre_wav).reshape(-1)]
-        )
-        sty, tim = feats
+        stream=True yields ~1 s chunks (first audio after LM + one chunk).
+        style_wav/timbre_wav may also be precomputed PromptFeatures (the
+        style-DB serving path) — featurization is then skipped."""
+        pending = [
+            np.asarray(w).reshape(-1)
+            for w in (style_wav, timbre_wav)
+            if not isinstance(w, PromptFeatures)
+        ]
+        feats = iter(self.prompt_features(pending) if pending else [])
+        sty = style_wav if isinstance(style_wav, PromptFeatures) else next(feats)
+        tim = timbre_wav if isinstance(timbre_wav, PromptFeatures) else next(feats)
         if stream:
             for chunk in self._synthesize_stream(tts_text, style_wav_text, sty, tim):
                 yield {"tts_speech": chunk[None, :]}

@@ -178,6 +178,19 @@ def main() -> None:
     batch_rtf = t8_med / max(batch_audio_s, 1e-9)
     batch_utt_per_s = 8 / t8_med
 
+    # ---- streaming time-to-first-audio (windowed CFM/vocoder solve)
+    def first_chunk() -> float:
+        t0 = time.perf_counter()
+        for chunk in engine.inference_tts_with_st(
+            texts[2], style_text, style_feats[0], timbre_feat, stream=True
+        ):
+            np.asarray(chunk["tts_speech"])
+            return time.perf_counter() - t0
+        return time.perf_counter() - t0
+
+    first_chunk()  # warm
+    ttfb = float(np.median([first_chunk() for _ in range(5)]))
+
     # ---- retrieval QPS at 1k styles x 6144 dims (BASELINE.md target)
     from autostyle_tts_tpu.retrieval import StyleStore
 
@@ -207,6 +220,7 @@ def main() -> None:
                     "rtf": round(rtf, 4),
                     "best_latency_s": round(best, 4),
                     "cold_path_p50_s": round(cold_p50, 4),
+                    "streaming_ttfb_p50_s": round(ttfb, 4),
                     "retrieval_qps_1k_styles_top5": round(retrieval_qps, 1),
                     "batch8_utt_per_s": round(batch_utt_per_s, 2),
                     "batch8_rtf": round(batch_rtf, 4),
