@@ -79,6 +79,7 @@ def make_acoustic_batches(
     shuffle: bool = True,
     stages: tuple = ("tokenizer", "token_lm", "cfm", "vocoder"),
     cache: Optional[Dict[int, tuple]] = None,
+    vocoder_segment_frames: int = 50,
 ) -> Iterator[Dict[str, Dict]]:
     """Yields batch dicts keyed by the requested `stages`.
 
@@ -189,16 +190,27 @@ def make_acoustic_batches(
             }
 
         if "vocoder" in stages:
-            # 24 kHz waveform aligned to the mel frames (vocoder pairs)
-            wav24_len = T_tok * up * a.hop_length
-            wav24 = np.zeros((B, wav24_len), np.float32)
+            # standard HiFi-GAN recipe: train on fixed 1 s random crops, not
+            # whole utterances — same gradient signal per sample at ~1/8 the
+            # discriminator compute, and ONE static shape for every batch
             from ..ops.resample import resample_poly_np
 
-            for i, w in enumerate(wavs):
+            seg = vocoder_segment_frames
+            hop = a.hop_length
+            M = cfg.cfm.n_mels
+            mel_seg = np.zeros((B, seg, M), np.float32)
+            wav_seg = np.zeros((B, seg * hop), np.float32)
+            for i, (f, w) in enumerate(zip(feats, wavs)):
                 w24 = resample_poly_np(w, a.prompt_sample_rate, a.sample_rate)
-                m = min(len(w24), wav24_len)
-                wav24[i, :m] = w24[:m]
-            out["vocoder"] = {"mel": out["cfm"]["mel"], "wav": jnp.asarray(wav24)}
+                n_frames = min(f.mel24.shape[0], len(w24) // hop)
+                start = 0 if n_frames <= seg else int(
+                    rng.integers(0, n_frames - seg + 1))
+                n = min(seg, n_frames)
+                mel_seg[i, :n] = f.mel24[start : start + n]
+                wav_seg[i, : n * hop] = w24[start * hop : (start + n) * hop]
+            out["vocoder"] = {
+                "mel": jnp.asarray(mel_seg), "wav": jnp.asarray(wav_seg),
+            }
 
         if "tokenizer" in stages:
             # raw 16 kHz wavs + 25 Hz phoneme labels (aligned to tokens:
