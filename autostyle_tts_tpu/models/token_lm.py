@@ -26,12 +26,70 @@ from typing import Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import causal_mask
+from ..ops.attention import causal_mask, rope_table
 from ..ops.sampling import SamplerConfig, sample
 from ..utils.config import TokenLMConfig, TransformerConfig
 from . import transformer as core
 
 Params = Dict
+
+
+def unstack_decode_params(params: Params, cfg: TokenLMConfig):
+    """Per-layer weight views for the fused Pallas decode path
+    (ops/pallas_decode.py). Built ONCE at engine init, outside jit, so the
+    slices are real device buffers — sliced inside the decode loop they
+    would re-materialize per program instead."""
+    from ..ops.quant import QTensor
+
+    lp = params["layers"]
+    layers = []
+    for l in range(cfg.n_layers):
+        layers.append(
+            {
+                "attn_norm": lp["attn_norm"][l][None, :],
+                "wqkv": QTensor(q=lp["wqkv"].q[l], s=lp["wqkv"].s[l]),
+                "wo": QTensor(q=lp["wo"].q[l], s=lp["wo"].s[l]),
+                "mlp_norm": lp["mlp_norm"][l][None, :],
+                "w_gate_up": QTensor(
+                    q=lp["w_gate_up"].q[l], s=lp["w_gate_up"].s[l]
+                ),
+                "w_down": QTensor(q=lp["w_down"].q[l], s=lp["w_down"].s[l]),
+            }
+        )
+    return layers
+
+
+def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512):
+    """TILE-MAJOR stacked weights for the one-call-per-step megakernel
+    (ops/pallas_decode.mega_decode_step). Every grid step's block is a
+    contiguous chunk: qkv split into q/k/v thirds [L, 3, D, N]; gate|up
+    interleaved per FFN tile [L, JM, D, 2*tf]; down as row tiles
+    [L, JM, tf, D]. Built once at engine init (outside jit)."""
+    import jax.numpy as jnp
+
+    lp = params["layers"]
+    L, D, F = cfg.n_layers, cfg.dim, cfg.ffn_dim
+    tf = min(tile_f, F)
+    assert F % tf == 0, (F, tf)
+    JM = F // tf
+    q3 = jnp.stack(jnp.split(lp["wqkv"].q, 3, axis=2), axis=1)
+    s3 = jnp.stack(jnp.split(lp["wqkv"].s, 3, axis=2), axis=1)
+    g = lp["w_gate_up"].q[..., :F].reshape(L, D, JM, tf)
+    u = lp["w_gate_up"].q[..., F:].reshape(L, D, JM, tf)
+    gs = lp["w_gate_up"].s[..., :F].reshape(L, 1, JM, tf)
+    us = lp["w_gate_up"].s[..., F:].reshape(L, 1, JM, tf)
+    return {
+        "attn_norm": lp["attn_norm"][:, None, :],
+        "mlp_norm": lp["mlp_norm"][:, None, :],
+        "wqkv3": q3,
+        "wqs3": s3,
+        "wo": lp["wo"].q,
+        "wos": lp["wo"].s,
+        "wgu_t": jnp.concatenate([g, u], axis=-1).transpose(0, 2, 1, 3),
+        "wgus_t": jnp.concatenate([gs, us], axis=-1).transpose(0, 2, 1, 3),
+        "wd_t": lp["w_down"].q.reshape(L, JM, tf, D),
+        "wds": lp["w_down"].s,
+    }
 
 
 def core_config(cfg: TokenLMConfig) -> TransformerConfig:
@@ -137,7 +195,7 @@ class SpeechGen(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "sampler", "min_tokens",
-                     "kv_int8"),
+                     "kv_int8", "fused"),
 )
 def generate_speech(
     params: Params,
@@ -149,14 +207,26 @@ def generate_speech(
     sampler: SamplerConfig = SamplerConfig(temperature=1.0, top_k=25),
     min_tokens: int = 2,
     kv_int8: bool = False,
+    fused: bool = False,
+    decode_params=None,
 ) -> SpeechGen:
     """Single-program prefill + scan decode over speech tokens with EOS and
     a min-length floor (EOS logit suppressed before min_tokens). The KV cache
     is allocated INSIDE the program (never crosses the host boundary);
-    kv_int8 stores it quantized (half the per-step HBM cache traffic)."""
+    kv_int8 stores it quantized (half the per-step HBM cache traffic).
+
+    fused=True (B=1, int8 weights, H==K) runs each decode step through the
+    Pallas half-layer kernels (ops/pallas_decode.py) over per-layer caches —
+    ~2x per-step time vs the scanned XLA path; decode_params must be the
+    matching unstack_decode_params(params, cfg) pytree. The cache is bf16 in
+    this mode (kv_int8 ignored — cache traffic is ~2% of a step)."""
     ccfg = core_config(cfg)
     B, P, D = prefix.embeds.shape
-    S_max = P + max_new_tokens + 1
+    # round the cache up to 8 slots: the fused path's aligned row-window DMA
+    # needs it, and the tail slots are masked out either way
+    S_max = -(-(P + max_new_tokens + 1) // 8) * 8
+    if fused:
+        kv_int8 = False
     cache = core.make_cache(ccfg, B, S_max, quantized=kv_int8)
     slot = jnp.arange(S_max, dtype=jnp.int32)
     offset = (P - prefix.length).astype(jnp.int32)
@@ -173,6 +243,13 @@ def generate_speech(
     next_logits = core.matmul_any(out.hidden[:, -1], head).astype(jnp.float32)
 
     eos, padt = cfg.speech_eos, cfg.speech_pad
+
+    if fused:
+        return _generate_fused(
+            params, decode_params, cfg, ccfg, out.cache, next_logits, key,
+            P=P, max_new_tokens=max_new_tokens, offset=offset,
+            sampler=sampler, min_tokens=min_tokens,
+        )
 
     def step(carry):
         cache, cur_logits, gen_len, done, key, i, toks = carry
@@ -210,6 +287,116 @@ def generate_speech(
     (cache, _, gen_len, done, _, _, toks) = jax.lax.while_loop(
         cond, step,
         (out.cache, next_logits, zeros, jnp.zeros((B,), bool), key,
+         jnp.int32(0), toks0),
+    )
+    return SpeechGen(tokens=toks, lengths=gen_len)
+
+
+def _generate_fused(
+    params: Params,
+    decode_params,
+    cfg: TokenLMConfig,
+    ccfg: TransformerConfig,
+    prefill_cache: Dict,
+    next_logits: jnp.ndarray,
+    key: jax.Array,
+    *,
+    P: int,
+    max_new_tokens: int,
+    offset: jnp.ndarray,
+    sampler: SamplerConfig,
+    min_tokens: int,
+) -> SpeechGen:
+    """Decode loop over the fused Pallas kernels (B=1). decode_params picks
+    the flavor: a dict (mega_decode_params) runs ONE pallas_call per step
+    over grid (layers, tiles); a list (unstack_decode_params) runs the
+    per-layer attn_step/mlp_step pair."""
+    from ..ops.pallas_decode import attn_step, mega_decode_step, mlp_step
+
+    L, hd = ccfg.n_layers, ccfg.head_dim
+    eos, padt = cfg.speech_eos, cfg.speech_pad
+    interp = jax.default_backend() == "cpu"
+    mega = isinstance(decode_params, dict)
+    # stacked [L, B, S, K, hd] prefill cache -> FLAT head-major [S, K*hd]
+    # per layer (the kernels keep heads in the lane dim — Mosaic cannot
+    # relayout [1, K*hd] <-> [K, hd] in-kernel)
+    S_all = prefill_cache["k"].shape[2]
+    if mega:
+        caches = (
+            prefill_cache["k"].reshape(L, S_all, -1),
+            prefill_cache["v"].reshape(L, S_all, -1),
+        )
+    else:
+        caches = tuple(
+            (
+                prefill_cache["k"][l, 0].reshape(S_all, -1),
+                prefill_cache["v"][l, 0].reshape(S_all, -1),
+            )
+            for l in range(L)
+        )
+    cos_tab, sin_tab = rope_table(ccfg.max_seq_len, hd, ccfg.rope_theta)
+    off0 = offset[0]
+    head = params["speech_head"]
+    dt = jnp.dtype(ccfg.dtype)
+
+    def step(carry):
+        caches, cur_logits, gen_len, done, key, i, toks = carry
+        key, sub = jax.random.split(key)
+        logits = cur_logits.at[:, padt].set(-1e30).at[:, cfg.speech_bos].set(-1e30)
+        logits = jnp.where(
+            (i < min_tokens) & (jnp.arange(logits.shape[-1]) == eos)[None, :],
+            -1e30, logits,
+        )
+        tok = sample(sub, logits, sampler)
+        tok = jnp.where(done, padt, tok)
+        is_eos = tok == eos
+        gen_len = gen_len + (~done & ~is_eos)
+        done = done | is_eos
+        toks = jax.lax.dynamic_update_slice(toks, tok[:, None], (0, i))
+
+        t_abs = (P + i).astype(jnp.int32)
+        pos = jnp.maximum(t_abs - off0, 0)
+        cr, sr = cos_tab[pos], sin_tab[pos]
+        # full-width rotate-half row, tiled across the K heads' lane groups
+        cosf = jnp.tile(jnp.concatenate([cr, cr]), ccfg.n_kv_heads)[None, :]
+        sinf = jnp.tile(jnp.concatenate([sr, sr]), ccfg.n_kv_heads)[None, :]
+        h = params["speech_emb"][tok].astype(dt)              # [1, D]
+        if mega:
+            h, k_all, v_all = mega_decode_step(
+                h, decode_params, cosf, sinf, caches[0], caches[1],
+                t_abs, off0, n_heads=ccfg.n_heads, head_dim=hd,
+                eps=ccfg.norm_eps, interpret=interp,
+            )
+            new_caches = (k_all, v_all)
+        else:
+            new_caches = []
+            for l in range(L):
+                lw = decode_params[l]
+                h, kc, vc = attn_step(
+                    h, lw["attn_norm"], lw["wqkv"], lw["wo"], cosf, sinf,
+                    caches[l][0], caches[l][1], t_abs, off0,
+                    n_heads=ccfg.n_heads, head_dim=hd, eps=ccfg.norm_eps,
+                    interpret=interp,
+                )
+                h = mlp_step(
+                    h, lw["mlp_norm"], lw["w_gate_up"], lw["w_down"],
+                    eps=ccfg.norm_eps, interpret=interp,
+                )
+                new_caches.append((kc, vc))
+            new_caches = tuple(new_caches)
+        hf = core.rmsnorm(h, params["final_norm"], ccfg.norm_eps)
+        nxt = core.matmul_any(hf.astype(dt), head).astype(jnp.float32)
+        return (tuple(new_caches), nxt, gen_len, done, key, i + 1, toks)
+
+    def cond(carry):
+        *_, done, _, i, _ = carry
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    zeros = jnp.zeros((1,), jnp.int32)
+    toks0 = jnp.full((1, max_new_tokens), padt, jnp.int32)
+    (_, _, gen_len, done, _, _, toks) = jax.lax.while_loop(
+        cond, step,
+        (caches, next_logits, zeros, jnp.zeros((1,), bool), key,
          jnp.int32(0), toks0),
     )
     return SpeechGen(tokens=toks, lengths=gen_len)

@@ -1,0 +1,692 @@
+"""Pallas fused decode-step kernels for the speech-token LM (B=1).
+
+Why: the profiled 300M int8 decode step costs ~0.85 ms, of which only
+~0.45 ms is weight streaming — the rest is per-op overhead of the ~200
+small XLA ops a scanned transformer step emits (norms, RoPE gathers, mask
+builds, cache re-stacking, reshapes). At B=1 the MXU is idle either way;
+the step is HBM-latency/overhead-bound, so the fix is fusion: ONE kernel
+per half-layer, everything living in VMEM/registers between the int8
+GEMVs (replaces the reference's CUDA token-LM inner loop, SURVEY §2.3.1
+"Token LM" row; the reference paid a full HF/CUDA dispatch per token).
+
+Two kernels per layer:
+
+- ``attn_step``: rmsnorm → fused int8 QKV GEMV → RoPE (rotate-half via
+  lane roll) → KV-cache row write (async DMA into the HBM-resident cache,
+  aliased in/out — no full-cache write-back) → single-token attention
+  against the cache (block-diagonal MXU trick: [K*S, hd] x [hd, K] score
+  matrix, diagonal extraction; the current token's k/v stay in registers)
+  → int8 out-projection GEMV → residual add.
+- ``mlp_step``: rmsnorm → int8 gate/up GEMV tiles → SiLU·mul → int8 down
+  GEMV, accumulated across a grid over FFN tiles (weights stream through
+  VMEM with double buffering) → residual add.
+
+Constraints (asserted): batch 1, n_heads == n_kv_heads (production token-LM
+geometry), int8 ``QTensor`` weights, bf16 KV cache. The generic scan path
+in models/transformer.py remains the fallback for everything else.
+Numerics match the XLA path: f32 norms/softmax/accumulation, bf16 dots.
+Parity-tested in interpret mode on CPU (tests/test_pallas_decode.py) and
+compile-tested on the real chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant import QTensor
+
+NEG_INF = -1e30
+
+
+def _rmsnorm_f32(h: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    nrm = h * jax.lax.rsqrt(jnp.mean(h * h, axis=-1, keepdims=True) + eps)
+    return nrm * w
+
+
+def _rope_flat(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, hd: int
+) -> jnp.ndarray:
+    """Rotate-half RoPE on a FLAT head-major row [1, n_heads*hd] with tiled
+    [1, n_heads*hd] cos/sin rows.
+
+    Mosaic cannot relayout [1, H*hd] -> [H, hd], so heads stay in the lane
+    dimension. Per-head rotate-half needs, at flat lane l = 64h + i:
+    i <  hd/2 -> the other half's element x[l + hd/2]  (= roll(x, -hd/2))
+    i >= hd/2 -> x[l - hd/2]                            (= roll(x, +hd/2))
+    Cross-head contamination of each full-lane roll is discarded by the
+    lane-position select. Sign: first half contributes -x2*s, second +x1*s."""
+    fwd = pltpu.roll(x, hd // 2, axis=1)
+    bwd = pltpu.roll(x, x.shape[1] - hd // 2, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    first = (lane % hd) < (hd // 2)
+    rot = jnp.where(first, bwd, fwd)
+    sign = jnp.where(first, -1.0, 1.0)
+    return x * cos + rot * sign * sin
+
+
+def _attn_kernel(
+    sc_ref,       # [1, 2] SMEM: (t, off) — cache write slot, first valid slot
+    h_ref,        # [1, D] bf16 residual stream
+    nrm_ref,      # [1, D] f32 attn rmsnorm weight
+    wqkv_ref,     # [D, (H+2K)*hd] int8
+    wqs_ref,      # [1, (H+2K)*hd] f32 scales
+    wo_ref,       # [H*hd, D] int8
+    wos_ref,      # [1, D] f32
+    cos_ref,      # [1, H*hd] f32 rope row tiled per head for this position
+    sin_ref,      # [1, H*hd]
+    kin_ref,      # [S, K*hd] bf16 flat head-major cache (ANY; aliased w/ kout)
+    vin_ref,
+    ho_ref,       # [1, D] bf16 out
+    kout_ref,     # aliased caches out
+    vout_ref,
+    kc, vc,       # VMEM scratch [S, K*hd] bf16
+    krow, vrow,   # VMEM scratch [8, K*hd] bf16 (8-row aligned write window)
+    sems,         # DMA sems (4,)
+    *,
+    n_heads: int,
+    head_dim: int,
+    eps: float,
+):
+    H, hd = n_heads, head_dim
+    K = H
+    S = kc.shape[0]
+    tt = sc_ref[0, 0]
+    off = sc_ref[0, 1]
+
+    # start the full-cache reads first so they overlap the QKV GEMV
+    rd_k = pltpu.make_async_copy(kin_ref, kc, sems.at[0])
+    rd_v = pltpu.make_async_copy(vin_ref, vc, sems.at[1])
+    rd_k.start()
+    rd_v.start()
+
+    h = h_ref[:].astype(jnp.float32)                          # [1, D]
+    x = _rmsnorm_f32(h, nrm_ref[:], eps).astype(jnp.bfloat16)
+    qkv = (
+        jnp.dot(x, wqkv_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        * wqs_ref[:]
+    )                                                          # [1, (H+2K)*hd]
+    q = qkv[:, : H * hd]                                       # flat [1, H*hd]
+    k_new = qkv[:, H * hd : (H + K) * hd]
+    v_new = qkv[:, (H + K) * hd :]
+    cos = cos_ref[:]
+    sin = sin_ref[:]
+    q = _rope_flat(q, cos, sin, hd)
+    k_new = _rope_flat(k_new, cos, sin, hd)
+
+    # DMA slices must be 8-row aligned: build the aligned window containing
+    # slot t from the (pre-update) scratch copy, patch row t, write it back.
+    t8 = pl.multiple_of((tt // 8) * 8, 8)
+    r_in_w = jax.lax.broadcasted_iota(jnp.int32, (8, k_new.shape[1]), 0)
+    rd_k.wait()
+    rd_v.wait()
+    krow[:] = jnp.where(
+        r_in_w == tt - t8, k_new.astype(jnp.bfloat16), kc[pl.ds(t8, 8), :]
+    )
+    vrow[:] = jnp.where(
+        r_in_w == tt - t8, v_new.astype(jnp.bfloat16), vc[pl.ds(t8, 8), :]
+    )
+    wr_k = pltpu.make_async_copy(krow, kout_ref.at[pl.ds(t8, 8), :], sems.at[2])
+    wr_v = pltpu.make_async_copy(vrow, vout_ref.at[pl.ds(t8, 8), :], sems.at[3])
+    wr_k.start()
+    wr_v.start()
+
+    # per-head segment sums via a constant block matrix G [K*hd, K]
+    # (G[j, k] = 1 iff j // hd == k): heads never leave the lane dimension,
+    # so no Mosaic relayouts; the extra MXU work is free at B=1.
+    g_mat = (
+        jax.lax.broadcasted_iota(jnp.int32, (K * hd, K), 0) // hd
+        == jax.lax.broadcasted_iota(jnp.int32, (K * hd, K), 1)
+    ).astype(jnp.float32)
+
+    scale = hd ** -0.5
+    kcf = kc[:].astype(jnp.float32)                            # [S, K*hd]
+    prod = kcf * q                                             # [S, K*hd]
+    logits = (
+        jnp.dot(prod, g_mat, preferred_element_type=jnp.float32) * scale
+    )                                                          # [S, K]
+    j_s = jax.lax.broadcasted_iota(jnp.int32, (S, K), 0)
+    logits = jnp.where((j_s < tt) & (j_s >= off), logits, NEG_INF)
+    # current token scored in-register (its cache row may still be in flight)
+    cur = (
+        jnp.dot(q * k_new, g_mat, preferred_element_type=jnp.float32) * scale
+    )                                                          # [1, K]
+
+    m = jnp.maximum(jnp.max(logits, axis=0, keepdims=True), cur)   # [1, K]
+    p = jnp.exp(logits - m)                                         # [S, K]
+    pc = jnp.exp(cur - m)                                           # [1, K]
+    denom = jnp.sum(p, axis=0, keepdims=True) + pc                  # [1, K]
+
+    vcf = vc[:].astype(jnp.float32)                            # [S, K*hd]
+    p_exp = jnp.dot(
+        p, g_mat.T, preferred_element_type=jnp.float32
+    )                                                          # [S, K*hd]
+    num = jnp.sum(p_exp * vcf, axis=0, keepdims=True)          # [1, K*hd]
+    pc_exp = jnp.dot(pc, g_mat.T, preferred_element_type=jnp.float32)
+    den_exp = jnp.dot(denom, g_mat.T, preferred_element_type=jnp.float32)
+    attn = ((num + pc_exp * v_new) / den_exp).astype(jnp.bfloat16)
+    delta = (
+        jnp.dot(attn, wo_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        * wos_ref[:]
+    )
+    ho_ref[:] = (h + delta).astype(ho_ref.dtype)
+    wr_k.wait()
+    wr_v.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "head_dim", "eps", "interpret")
+)
+def attn_step(
+    h: jnp.ndarray,            # [1, D] bf16
+    attn_norm: jnp.ndarray,    # [1, D] f32
+    wqkv: QTensor,             # int8 [D, (H+2K)*hd]
+    wo: QTensor,               # int8 [H*hd, D]
+    cos_row: jnp.ndarray,      # [1, H*hd] f32 (rope row tiled per head)
+    sin_row: jnp.ndarray,
+    k_cache: jnp.ndarray,      # [S, K*hd] bf16 flat head-major cache
+    v_cache: jnp.ndarray,
+    t: jnp.ndarray,            # scalar int32 — write slot / mask bound
+    off: jnp.ndarray,          # scalar int32 — first valid slot (left pad)
+    *,
+    n_heads: int,
+    head_dim: int,
+    eps: float,
+    interpret: bool = False,
+):
+    """One decode-step attention half-layer; returns (h', k_cache', v_cache').
+    Caches are aliased in/out (updated in place — only the new row is
+    written back)."""
+    S, KH = k_cache.shape
+    D = h.shape[1]
+    assert S % 8 == 0, f"cache length {S} must be 8-aligned for the row DMA"
+    sc = jnp.concatenate(
+        [t.reshape(1, 1), off.reshape(1, 1)], axis=1
+    ).astype(jnp.int32)
+    kernel = functools.partial(
+        _attn_kernel, n_heads=n_heads, head_dim=head_dim, eps=eps
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+            any_spec, any_spec,
+        ],
+        out_specs=(vmem(), any_spec, any_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, D), h.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        input_output_aliases={9: 1, 10: 2},
+        scratch_shapes=[
+            pltpu.VMEM((S, KH), k_cache.dtype),
+            pltpu.VMEM((S, KH), v_cache.dtype),
+            pltpu.VMEM((8, KH), k_cache.dtype),
+            pltpu.VMEM((8, KH), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * D * wqkv.q.shape[1] + 6 * S * KH * n_heads,
+            bytes_accessed=wqkv.q.size + wo.q.size + 4 * S * KH,
+            transcendentals=S * n_heads,
+        ),
+    )(sc, h, attn_norm, wqkv.q, wqkv.s, wo.q, wo.s, cos_row, sin_row,
+      k_cache, v_cache)
+
+
+def _mlp_kernel(
+    h_ref,        # [1, D] bf16
+    nrm_ref,      # [1, D] f32
+    wg_ref,       # [D, TF] int8 (gate tile)
+    wgs_ref,      # [1, TF]
+    wu_ref,       # [D, TF] int8 (up tile)
+    wus_ref,      # [1, TF]
+    wd_ref,       # [TF, D] int8 (down tile)
+    wds_ref,      # [1, D]
+    ho_ref,       # [1, D] bf16
+    acc,          # VMEM scratch [1, D] f32
+    *,
+    eps: float,
+):
+    j = pl.program_id(0)
+    h = h_ref[:].astype(jnp.float32)
+    x = _rmsnorm_f32(h, nrm_ref[:], eps).astype(jnp.bfloat16)
+    g = (
+        jnp.dot(x, wg_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        * wgs_ref[:]
+    )
+    u = (
+        jnp.dot(x, wu_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        * wus_ref[:]
+    )
+    t = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
+    part = jnp.dot(t, wd_ref[:].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc[:] = acc[:] + part
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        ho_ref[:] = (h + acc[:] * wds_ref[:]).astype(ho_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "tile_f", "interpret")
+)
+def mlp_step(
+    h: jnp.ndarray,            # [1, D] bf16
+    mlp_norm: jnp.ndarray,     # [1, D] f32
+    w_gate_up: QTensor,        # int8 [D, 2F]
+    w_down: QTensor,           # int8 [F, D]
+    *,
+    eps: float,
+    tile_f: int = 1024,
+    interpret: bool = False,
+):
+    """One decode-step MLP half-layer, FFN streamed in `tile_f` column tiles
+    (double-buffered by the grid pipeline)."""
+    D = h.shape[1]
+    F = w_down.q.shape[0]
+    tf = min(tile_f, F)
+    assert F % tf == 0, (F, tf)
+    n_tiles = F // tf
+    kernel = functools.partial(_mlp_kernel, eps=eps)
+    const = lambda j: (0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            # gate tile j and up tile (F/tf + j) view the same fused array
+            pl.BlockSpec((D, tf), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tf), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (D, tf), lambda j: (0, F // tf + j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tf), lambda j: (0, F // tf + j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tf, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, D), h.dtype),
+        scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * D * 3 * F * 2,
+            bytes_accessed=w_gate_up.q.size + w_down.q.size,
+            transcendentals=F,
+        ),
+    )(h, mlp_norm, w_gate_up.q, w_gate_up.s, w_gate_up.q, w_gate_up.s,
+      w_down.q, w_down.s)
+
+
+def fused_ok(params, cfg, batch: int) -> bool:
+    """Fused decode applies: B=1, int8-quantized projections, no GQA/bias,
+    FFN divisible by the tile. Reads ASTTTS_FUSED=0 to disable (trace-time,
+    like flash_ok)."""
+    import os
+
+    if os.environ.get("ASTTTS_FUSED", "1") == "0":
+        return False
+    lp = params["layers"]
+    return (
+        batch == 1
+        and cfg.n_heads == cfg.n_kv_heads
+        and "bqkv" not in lp
+        and isinstance(lp["wqkv"], QTensor)
+        and isinstance(lp["wo"], QTensor)
+        and isinstance(lp["w_gate_up"], QTensor)
+        and isinstance(lp["w_down"], QTensor)
+        and cfg.ffn_dim % min(1024, cfg.ffn_dim) == 0
+    )
+
+
+# ============================================================== megakernel
+#
+# One pallas_call per decode step: grid (n_layers, 4 + n_ffn_tiles).
+# j = 0..2   : q / k / v third-GEMVs of the fused QKV projection
+# j = 2 also : RoPE q,k + aligned KV-window write DMA into the HBM cache
+# j = 3      : attention against the VMEM cache copy + out-projection
+# j = 4..    : FFN tiles (interleaved gate|up + down), accumulated
+#
+# All weights live in TILE-MAJOR stacked arrays so every grid step's block
+# is one contiguous DMA (column tiles of a row-major [D, F] array are
+# strided and measured ~2x slower); the pipeline double-buffers each
+# operand across grid steps, so the weight stream never stops between
+# layers — the 28-call-per-step version topped out at ~350 GB/s from DMA
+# ramp + per-call overhead. Each layer's KV cache is prefetched into a
+# revolving 2-slot VMEM scratch one layer ahead.
+
+
+def _mega_kernel(
+    sc_ref,        # [1, 2] SMEM: (t, off)
+    h_ref,         # [1, D] bf16 input residual
+    anrm_ref,      # [1, 1, D] block of stacked attn norms
+    wqkv3_ref,     # [1, 1, D, N] int8 — q/k/v third for this (l, j<3)
+    wqs3_ref,      # [1, 1, 1, N] f32
+    wo_ref,        # [1, N, D] int8
+    wos_ref,       # [1, 1, D] f32
+    cos_ref,       # [1, N] f32 tiled rope row
+    sin_ref,       # [1, N]
+    mnrm_ref,      # [1, 1, D]
+    wgu_ref,       # [1, 1, D, 2*TF] int8 — interleaved gate|up tile
+    wgus_ref,      # [1, 1, 1, 2*TF]
+    wd_ref,        # [1, 1, TF, D] int8
+    wds_ref,       # [1, 1, D]
+    kin_ref,       # [L, S, KH] ANY (aliased with kout)
+    vin_ref,
+    ho_ref,        # [1, D] bf16 out
+    kout_ref, vout_ref,
+    h_s,           # VMEM [1, D] bf16 — residual stream across grid steps
+    q_s, k_s, v_s, # VMEM [1, N] f32
+    acc,           # VMEM [1, D] f32 — FFN accumulator
+    kc2, vc2,      # VMEM [2, S, KH] bf16 — revolving cache slots
+    kwin, vwin,    # VMEM [8, KH] bf16 — aligned write windows
+    rd_sems,       # DMA sems (2, 2): [slot, k/v]
+    wr_sems,       # DMA sems (2,)
+    *,
+    n_heads: int,
+    head_dim: int,
+    eps: float,
+):
+    l = pl.program_id(0)
+    j = pl.program_id(1)
+    L = pl.num_programs(0)
+    J = pl.num_programs(1)
+    H, hd = n_heads, head_dim
+    N = H * hd
+    S = kc2.shape[1]
+    tt = sc_ref[0, 0]
+    off = sc_ref[0, 1]
+    slot = jax.lax.rem(l, 2)
+    nslot = jax.lax.rem(l + 1, 2)
+
+    def rd_copies(layer, s):
+        return (
+            pltpu.make_async_copy(kin_ref.at[layer], kc2.at[s], rd_sems.at[s, 0]),
+            pltpu.make_async_copy(vin_ref.at[layer], vc2.at[s], rd_sems.at[s, 1]),
+        )
+
+    @pl.when((l == 0) & (j == 0))
+    def _():
+        h_s[:] = h_ref[:]
+        ck, cv = rd_copies(0, 0)
+        ck.start()
+        cv.start()
+
+    # ---- qkv thirds ------------------------------------------------------
+    @pl.when(j < 3)
+    def _():
+        hf = h_s[:].astype(jnp.float32)
+        x = _rmsnorm_f32(hf, anrm_ref[0], eps).astype(jnp.bfloat16)
+        part = (
+            jnp.dot(x, wqkv3_ref[0, 0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            * wqs3_ref[0, 0]
+        )
+
+        @pl.when(j == 0)
+        def _():
+            q_s[:] = part
+
+        @pl.when(j == 1)
+        def _():
+            k_s[:] = part
+
+        @pl.when(j == 2)
+        def _():
+            v_s[:] = part
+
+    # ---- rope + cache-window write (needs k, v; q roped here too) -------
+    @pl.when(j == 2)
+    def _():
+        cos = cos_ref[:]
+        sin = sin_ref[:]
+        q_s[:] = _rope_flat(q_s[:], cos, sin, hd)
+        k_s[:] = _rope_flat(k_s[:], cos, sin, hd)
+        ck, cv = rd_copies(l, slot)
+        ck.wait()
+        cv.wait()
+        t8 = pl.multiple_of((tt // 8) * 8, 8)
+        rw = jax.lax.broadcasted_iota(jnp.int32, (8, N), 0)
+        kwin[:] = jnp.where(
+            rw == tt - t8, k_s[:].astype(jnp.bfloat16),
+            kc2[slot, pl.ds(t8, 8), :],
+        )
+        vwin[:] = jnp.where(
+            rw == tt - t8, v_s[:].astype(jnp.bfloat16),
+            vc2[slot, pl.ds(t8, 8), :],
+        )
+        pltpu.make_async_copy(
+            kwin, kout_ref.at[l, pl.ds(t8, 8), :], wr_sems.at[0]
+        ).start()
+        pltpu.make_async_copy(
+            vwin, vout_ref.at[l, pl.ds(t8, 8), :], wr_sems.at[1]
+        ).start()
+
+    # ---- attention + out-projection --------------------------------------
+    @pl.when(j == 3)
+    def _():
+        g_mat = (
+            jax.lax.broadcasted_iota(jnp.int32, (N, H), 0) // hd
+            == jax.lax.broadcasted_iota(jnp.int32, (N, H), 1)
+        ).astype(jnp.float32)
+        scale = hd ** -0.5
+        q = q_s[:]
+        k_new = k_s[:]
+        v_new = v_s[:]
+        kcf = kc2[slot].astype(jnp.float32)
+        logits = (
+            jnp.dot(kcf * q, g_mat, preferred_element_type=jnp.float32) * scale
+        )
+        j_s = jax.lax.broadcasted_iota(jnp.int32, (S, H), 0)
+        logits = jnp.where((j_s < tt) & (j_s >= off), logits, NEG_INF)
+        cur = (
+            jnp.dot(q * k_new, g_mat, preferred_element_type=jnp.float32)
+            * scale
+        )
+        m = jnp.maximum(jnp.max(logits, axis=0, keepdims=True), cur)
+        p = jnp.exp(logits - m)
+        pc = jnp.exp(cur - m)
+        denom = jnp.sum(p, axis=0, keepdims=True) + pc
+        vcf = vc2[slot].astype(jnp.float32)
+        p_exp = jnp.dot(p, g_mat.T, preferred_element_type=jnp.float32)
+        num = jnp.sum(p_exp * vcf, axis=0, keepdims=True)
+        pc_exp = jnp.dot(pc, g_mat.T, preferred_element_type=jnp.float32)
+        den_exp = jnp.dot(denom, g_mat.T, preferred_element_type=jnp.float32)
+        attn = ((num + pc_exp * v_new) / den_exp).astype(jnp.bfloat16)
+        delta = (
+            jnp.dot(attn, wo_ref[0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            * wos_ref[0]
+        )
+        h_s[:] = (h_s[:].astype(jnp.float32) + delta).astype(h_s.dtype)
+        pltpu.make_async_copy(
+            kwin, kout_ref.at[l, pl.ds(0, 8), :], wr_sems.at[0]
+        ).wait()
+        pltpu.make_async_copy(
+            vwin, vout_ref.at[l, pl.ds(0, 8), :], wr_sems.at[1]
+        ).wait()
+
+    # ---- FFN tiles --------------------------------------------------------
+    @pl.when(j == 4)
+    def _():
+        @pl.when(l + 1 < L)
+        def _():
+            ck, cv = rd_copies(l + 1, nslot)
+            ck.start()
+            cv.start()
+
+    @pl.when(j >= 4)
+    def _():
+        tf = wd_ref.shape[2]
+        hf = h_s[:].astype(jnp.float32)
+        x = _rmsnorm_f32(hf, mnrm_ref[0], eps).astype(jnp.bfloat16)
+        gu = (
+            jnp.dot(x, wgu_ref[0, 0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            * wgus_ref[0, 0]
+        )
+        g = gu[:, :tf]
+        u = gu[:, tf:]
+        part = jnp.dot(
+            (jax.nn.silu(g) * u).astype(jnp.bfloat16),
+            wd_ref[0, 0].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(j == 4)
+        def _():
+            acc[:] = part
+
+        @pl.when(j > 4)
+        def _():
+            acc[:] = acc[:] + part
+
+        @pl.when(j == J - 1)
+        def _():
+            h_s[:] = (
+                h_s[:].astype(jnp.float32) + acc[:] * wds_ref[0]
+            ).astype(h_s.dtype)
+
+            @pl.when(l == L - 1)
+            def _():
+                ho_ref[:] = h_s[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "head_dim", "eps", "interpret")
+)
+def mega_decode_step(
+    h: jnp.ndarray,      # [1, D] bf16
+    mp: dict,            # mega_decode_params(...) tile-major weight pytree
+    cos_row: jnp.ndarray,
+    sin_row: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, S, K*hd] bf16 flat caches
+    v_all: jnp.ndarray,
+    t: jnp.ndarray,
+    off: jnp.ndarray,
+    *,
+    n_heads: int,
+    head_dim: int,
+    eps: float,
+    interpret: bool = False,
+):
+    """Full transformer decode step (all layers) in ONE pallas_call.
+    Returns (h', k_all', v_all'); caches updated in place via aliasing."""
+    L, S, KH = k_all.shape
+    D = h.shape[1]
+    N = n_heads * head_dim
+    JM = mp["wd_t"].shape[1]
+    TF = mp["wd_t"].shape[2]
+    J = 4 + JM
+    assert S % 8 == 0, S
+    kernel = functools.partial(
+        _mega_kernel, n_heads=n_heads, head_dim=head_dim, eps=eps
+    )
+    c2 = lambda l, j: (0, 0)
+    lmap3 = lambda l, j: (l, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(L, J),
+        in_specs=[
+            pl.BlockSpec((1, 2), c2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, D), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, D, N),
+                lambda l, j: (l, jnp.minimum(j, 2), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, N),
+                lambda l, j: (l, jnp.minimum(j, 2), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, N, D), lmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, D, 2 * TF),
+                lambda l, j: (l, jnp.maximum(j - 4, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, 2 * TF),
+                lambda l, j: (l, jnp.maximum(j - 4, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, TF, D),
+                lambda l, j: (l, jnp.maximum(j - 4, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, D), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, D), h.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ),
+        input_output_aliases={14: 1, 15: 2},
+        scratch_shapes=[
+            pltpu.VMEM((1, D), h.dtype),
+            pltpu.VMEM((1, N), jnp.float32),
+            pltpu.VMEM((1, N), jnp.float32),
+            pltpu.VMEM((1, N), jnp.float32),
+            pltpu.VMEM((1, D), jnp.float32),
+            pltpu.VMEM((2, S, KH), k_all.dtype),
+            pltpu.VMEM((2, S, KH), v_all.dtype),
+            pltpu.VMEM((8, KH), k_all.dtype),
+            pltpu.VMEM((8, KH), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * D * (3 * N + N + 6 * TF * JM),
+            bytes_accessed=(
+                mp["wqkv3"].size + mp["wo"].size + mp["wgu_t"].size
+                + mp["wd_t"].size + 4 * L * S * KH
+            ),
+            transcendentals=L * (S * n_heads + TF * JM),
+        ),
+    )(
+        jnp.concatenate(
+            [t.reshape(1, 1), off.reshape(1, 1)], axis=1
+        ).astype(jnp.int32),
+        h, mp["attn_norm"], mp["wqkv3"], mp["wqs3"], mp["wo"], mp["wos"],
+        cos_row, sin_row, mp["mlp_norm"], mp["wgu_t"], mp["wgus_t"],
+        mp["wd_t"], mp["wds"], k_all, v_all,
+    )

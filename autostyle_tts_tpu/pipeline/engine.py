@@ -366,12 +366,39 @@ class Engine:
             )
             pre = token_lm.pad_prefix(pre)  # flash prefill block alignment
             self.key, sub = jax.random.split(self.key)
+            dp = self._fused_decode_params(pre.embeds.shape, max_new)
             gen = token_lm.generate_speech(
                 self.params.token_lm, tl, pre, sub, max_new_tokens=max_new,
                 kv_int8=getattr(self.cfg, "quantize_lm_kv_int8", False),
+                fused=dp is not None, decode_params=dp,
             )
             self.watch.sync(gen.tokens, gen.lengths)
         return gen.tokens, gen.lengths, max_new
+
+    def _fused_decode_params(self, prefix_shape, max_new: int):
+        """Tile-major weights for the Pallas decode megakernel when it
+        applies (B=1, int8 LM, TPU backend, cache fits the kernel's VMEM
+        scratch); None -> the scanned XLA path. Built once, cached."""
+        B, P, _ = prefix_shape
+        s_max = -(-(P + max_new + 1) // 8) * 8
+        if (
+            B != 1
+            or s_max > 768
+            or jax.default_backend() == "cpu"
+            or not self.cfg.quantize_lm_int8
+            or self.mesh is not None   # sharded params stay on the GSPMD path
+        ):
+            return None
+        from ..ops.pallas_decode import fused_ok
+
+        tl = self.cfg.token_lm
+        if not fused_ok(self.params.token_lm, token_lm.core_config(tl), 1):
+            return None
+        if not hasattr(self, "_mega_params"):
+            self._mega_params = token_lm.mega_decode_params(
+                self.params.token_lm, tl
+            )
+        return self._mega_params
 
     # ------------------------------------------------------------------ core synthesis
 
