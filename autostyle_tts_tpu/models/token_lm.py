@@ -78,6 +78,18 @@ def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512):
     u = lp["w_gate_up"].q[..., F:].reshape(L, D, JM, tf)
     gs = lp["w_gate_up"].s[..., :F].reshape(L, 1, JM, tf)
     us = lp["w_gate_up"].s[..., F:].reshape(L, 1, JM, tf)
+    # speech head, column-tiled and lane-padded (padded ids masked in-kernel)
+    V = cfg.speech_vocab_size
+    JH = max(1, -(-V // 1536))
+    TV = -(-V // (JH * 128)) * 128
+    head_q = jnp.zeros((D, JH * TV), jnp.int8).at[:, :V].set(
+        params["speech_head"].q
+    )
+    head_s = jnp.zeros((1, JH * TV), jnp.float32).at[:, :V].set(
+        params["speech_head"].s
+    )
+    JMH = 4 + JM   # grid steps per layer; head tiles + sample must fit
+    assert JH < JMH, (JH, JMH)
     return {
         "attn_norm": lp["attn_norm"][:, None, :],
         "mlp_norm": lp["mlp_norm"][:, None, :],
@@ -89,6 +101,9 @@ def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512):
         "wgus_t": jnp.concatenate([gs, us], axis=-1).transpose(0, 2, 1, 3),
         "wd_t": lp["w_down"].q.reshape(L, JM, tf, D),
         "wds": lp["w_down"].s,
+        "final_norm": params["final_norm"][None, :],
+        "head_t": head_q.reshape(D, JH, TV).transpose(1, 0, 2),
+        "head_s": head_s.reshape(1, JH, TV).transpose(1, 0, 2),
     }
 
 
@@ -222,6 +237,12 @@ def generate_speech(
     this mode (kv_int8 ignored — cache traffic is ~2% of a step)."""
     ccfg = core_config(cfg)
     B, P, D = prefix.embeds.shape
+    # the megakernel samples in-kernel (greedy / temperature / top-k); a
+    # top-p request falls back to the scanned XLA sampler
+    if fused and isinstance(decode_params, dict) and (
+        not sampler.greedy and sampler.top_p < 1.0
+    ):
+        fused = False
     # round the cache up to 8 slots: the fused path's aligned row-window DMA
     # needs it, and the tail slots are masked out either way
     S_max = -(-(P + max_new_tokens + 1) // 8) * 8
@@ -308,9 +329,11 @@ def _generate_fused(
     min_tokens: int,
 ) -> SpeechGen:
     """Decode loop over the fused Pallas kernels (B=1). decode_params picks
-    the flavor: a dict (mega_decode_params) runs ONE pallas_call per step
-    over grid (layers, tiles); a list (unstack_decode_params) runs the
-    per-layer attn_step/mlp_step pair."""
+    the flavor: a dict (mega_decode_params) runs ONE pallas_call per step —
+    layers + final norm + speech head + top-k/Gumbel sampling all in-kernel,
+    leaving only the token embed and EOS bookkeeping in XLA; a list
+    (unstack_decode_params) runs the per-layer attn_step/mlp_step pair with
+    the XLA head/sampler (the parity reference)."""
     from ..ops.pallas_decode import attn_step, mega_decode_step, mlp_step
 
     L, hd = ccfg.n_layers, ccfg.head_dim
@@ -321,33 +344,82 @@ def _generate_fused(
     # per layer (the kernels keep heads in the lane dim — Mosaic cannot
     # relayout [1, K*hd] <-> [K, hd] in-kernel)
     S_all = prefill_cache["k"].shape[2]
-    if mega:
-        caches = (
-            prefill_cache["k"].reshape(L, S_all, -1),
-            prefill_cache["v"].reshape(L, S_all, -1),
-        )
-    else:
-        caches = tuple(
-            (
-                prefill_cache["k"][l, 0].reshape(S_all, -1),
-                prefill_cache["v"][l, 0].reshape(S_all, -1),
-            )
-            for l in range(L)
-        )
     cos_tab, sin_tab = rope_table(ccfg.max_seq_len, hd, ccfg.rope_theta)
     off0 = offset[0]
-    head = params["speech_head"]
     dt = jnp.dtype(ccfg.dtype)
+
+    def rope_rows(t_abs):
+        pos = jnp.maximum(t_abs - off0, 0)
+        cr, sr = cos_tab[pos], sin_tab[pos]
+        # full-width rotate-half row, tiled across the K heads' lane groups
+        cosf = jnp.tile(jnp.concatenate([cr, cr]), ccfg.n_kv_heads)[None, :]
+        sinf = jnp.tile(jnp.concatenate([sr, sr]), ccfg.n_kv_heads)[None, :]
+        return cosf, sinf
+
+    def mask_logits(logits, i):
+        logits = logits.at[:, padt].set(-1e30).at[:, cfg.speech_bos].set(-1e30)
+        return jnp.where(
+            (i < min_tokens) & (jnp.arange(logits.shape[-1]) == eos)[None, :],
+            -1e30, logits,
+        )
+
+    if mega:
+        k_all = prefill_cache["k"].reshape(L, S_all, -1)
+        v_all = prefill_cache["v"].reshape(L, S_all, -1)
+        key, sub, kseed = jax.random.split(key, 3)
+        # token 0 comes from the prefill logits (XLA sampler, as before);
+        # tokens 1.. are sampled inside the megakernel (Gumbel-max — same
+        # distribution as the XLA categorical, different stream)
+        tok0 = sample(sub, mask_logits(next_logits, 0), sampler)[0]
+        seeds = jax.random.randint(
+            kseed, (max_new_tokens,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+        )
+        toks0 = jnp.full((1, max_new_tokens), padt, jnp.int32)
+        toks0 = toks0.at[0, 0].set(tok0)
+
+        def step(carry):
+            k_all, v_all, tok_prev, gen_len, i, toks = carry
+            t_abs = (P + i - 1).astype(jnp.int32)   # cache slot of tok_prev
+            cosf, sinf = rope_rows(t_abs)
+            h = params["speech_emb"][tok_prev][None, :].astype(dt)
+            suppress = (i < min_tokens).astype(jnp.int32)
+            _, tok_out, k_all, v_all = mega_decode_step(
+                h, decode_params, cosf, sinf, k_all, v_all,
+                t_abs, off0, suppress, seeds[i],
+                n_heads=ccfg.n_heads, head_dim=hd, eps=ccfg.norm_eps,
+                vocab=cfg.speech_vocab_size, pad_id=padt,
+                bos_id=cfg.speech_bos, eos_id=eos,
+                greedy=sampler.greedy, temperature=sampler.temperature,
+                top_k=sampler.top_k, interpret=interp,
+            )
+            tok_i = tok_out[0, 0]
+            toks = jax.lax.dynamic_update_slice(toks, tok_i[None, None], (0, i))
+            gen_len = gen_len + (tok_i != eos).astype(jnp.int32)
+            return (k_all, v_all, tok_i, gen_len, i + 1, toks)
+
+        def cond(carry):
+            _, _, tok_prev, _, i, _ = carry
+            return (i < max_new_tokens) & (tok_prev != eos)
+
+        gen0 = (tok0 != eos).astype(jnp.int32)
+        (_, _, _, gen_len, _, toks) = jax.lax.while_loop(
+            cond, step, (k_all, v_all, tok0, gen0, jnp.int32(1), toks0)
+        )
+        return SpeechGen(tokens=toks, lengths=gen_len[None])
+
+    caches = tuple(
+        (
+            prefill_cache["k"][l, 0].reshape(S_all, -1),
+            prefill_cache["v"][l, 0].reshape(S_all, -1),
+        )
+        for l in range(L)
+    )
+    head = params["speech_head"]
 
     def step(carry):
         caches, cur_logits, gen_len, done, key, i, toks = carry
         key, sub = jax.random.split(key)
-        logits = cur_logits.at[:, padt].set(-1e30).at[:, cfg.speech_bos].set(-1e30)
-        logits = jnp.where(
-            (i < min_tokens) & (jnp.arange(logits.shape[-1]) == eos)[None, :],
-            -1e30, logits,
-        )
-        tok = sample(sub, logits, sampler)
+        tok = sample(sub, mask_logits(cur_logits, i), sampler)
         tok = jnp.where(done, padt, tok)
         is_eos = tok == eos
         gen_len = gen_len + (~done & ~is_eos)
@@ -355,35 +427,22 @@ def _generate_fused(
         toks = jax.lax.dynamic_update_slice(toks, tok[:, None], (0, i))
 
         t_abs = (P + i).astype(jnp.int32)
-        pos = jnp.maximum(t_abs - off0, 0)
-        cr, sr = cos_tab[pos], sin_tab[pos]
-        # full-width rotate-half row, tiled across the K heads' lane groups
-        cosf = jnp.tile(jnp.concatenate([cr, cr]), ccfg.n_kv_heads)[None, :]
-        sinf = jnp.tile(jnp.concatenate([sr, sr]), ccfg.n_kv_heads)[None, :]
+        cosf, sinf = rope_rows(t_abs)
         h = params["speech_emb"][tok].astype(dt)              # [1, D]
-        if mega:
-            h, k_all, v_all = mega_decode_step(
-                h, decode_params, cosf, sinf, caches[0], caches[1],
-                t_abs, off0, n_heads=ccfg.n_heads, head_dim=hd,
+        new_caches = []
+        for l in range(L):
+            lw = decode_params[l]
+            h, kc, vc = attn_step(
+                h, lw["attn_norm"], lw["wqkv"], lw["wo"], cosf, sinf,
+                caches[l][0], caches[l][1], t_abs, off0,
+                n_heads=ccfg.n_heads, head_dim=hd, eps=ccfg.norm_eps,
+                interpret=interp,
+            )
+            h = mlp_step(
+                h, lw["mlp_norm"], lw["w_gate_up"], lw["w_down"],
                 eps=ccfg.norm_eps, interpret=interp,
             )
-            new_caches = (k_all, v_all)
-        else:
-            new_caches = []
-            for l in range(L):
-                lw = decode_params[l]
-                h, kc, vc = attn_step(
-                    h, lw["attn_norm"], lw["wqkv"], lw["wo"], cosf, sinf,
-                    caches[l][0], caches[l][1], t_abs, off0,
-                    n_heads=ccfg.n_heads, head_dim=hd, eps=ccfg.norm_eps,
-                    interpret=interp,
-                )
-                h = mlp_step(
-                    h, lw["mlp_norm"], lw["w_gate_up"], lw["w_down"],
-                    eps=ccfg.norm_eps, interpret=interp,
-                )
-                new_caches.append((kc, vc))
-            new_caches = tuple(new_caches)
+            new_caches.append((kc, vc))
         hf = core.rmsnorm(h, params["final_norm"], ccfg.norm_eps)
         nxt = core.matmul_any(hf.astype(dt), head).astype(jnp.float32)
         return (tuple(new_caches), nxt, gen_len, done, key, i + 1, toks)

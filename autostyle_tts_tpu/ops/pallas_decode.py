@@ -9,22 +9,26 @@ per half-layer, everything living in VMEM/registers between the int8
 GEMVs (replaces the reference's CUDA token-LM inner loop, SURVEY §2.3.1
 "Token LM" row; the reference paid a full HF/CUDA dispatch per token).
 
-Two kernels per layer:
+Three entry points:
 
-- ``attn_step``: rmsnorm → fused int8 QKV GEMV → RoPE (rotate-half via
-  lane roll) → KV-cache row write (async DMA into the HBM-resident cache,
-  aliased in/out — no full-cache write-back) → single-token attention
-  against the cache (block-diagonal MXU trick: [K*S, hd] x [hd, K] score
-  matrix, diagonal extraction; the current token's k/v stay in registers)
-  → int8 out-projection GEMV → residual add.
-- ``mlp_step``: rmsnorm → int8 gate/up GEMV tiles → SiLU·mul → int8 down
-  GEMV, accumulated across a grid over FFN tiles (weights stream through
-  VMEM with double buffering) → residual add.
+- ``mega_decode_step`` (the production path): the ENTIRE decode step —
+  all layers, final norm, speech-head GEMV and greedy/top-k/Gumbel
+  sampling — as ONE pallas_call over grid (n_layers + 1, 4 + ffn_tiles).
+  Weights live in tile-major stacked arrays (every grid block one
+  contiguous DMA, double-buffered across grid steps so the weight stream
+  never stops between layers); each layer's KV cache is DMA'd into VMEM
+  at its first grid step and only the 8-row aligned window holding the
+  new token is written back. Measured ~0.40 ms/step at 300M int8
+  (~590 GB/s of weight bytes) vs ~0.88 ms for the scanned XLA step.
+- ``attn_step`` / ``mlp_step``: the same math as per-layer kernel pairs —
+  the simpler interpret-mode parity reference (and a fallback shape).
 
 Constraints (asserted): batch 1, n_heads == n_kv_heads (production token-LM
 geometry), int8 ``QTensor`` weights, bf16 KV cache. The generic scan path
 in models/transformer.py remains the fallback for everything else.
-Numerics match the XLA path: f32 norms/softmax/accumulation, bf16 dots.
+Numerics match the XLA path: f32 norms/softmax/accumulation, bf16 dots;
+greedy tokens are bit-identical (random sampling uses the same top-k +
+categorical distribution via Gumbel-max, different RNG stream).
 Parity-tested in interpret mode on CPU (tests/test_pallas_decode.py) and
 compile-tested on the real chip.
 """
@@ -365,11 +369,18 @@ def fused_ok(params, cfg, batch: int) -> bool:
 
 # ============================================================== megakernel
 #
-# One pallas_call per decode step: grid (n_layers, 4 + n_ffn_tiles).
-# j = 0..2   : q / k / v third-GEMVs of the fused QKV projection
-# j = 2 also : RoPE q,k + aligned KV-window write DMA into the HBM cache
-# j = 3      : attention against the VMEM cache copy + out-projection
-# j = 4..    : FFN tiles (interleaved gate|up + down), accumulated
+# One pallas_call per decode step: grid (n_layers + 1, 4 + n_ffn_tiles).
+# For l < n_layers (transformer layers):
+#   j = 0..2   : q / k / v third-GEMVs of the fused QKV projection
+#   j = 2 also : RoPE q,k + aligned KV-window write DMA into the HBM cache
+#   j = 3      : attention against the VMEM cache copy + out-projection
+#   j = 4..    : FFN tiles (interleaved gate|up + down), accumulated
+# For l == n_layers (head phase):
+#   j = 0..JH-1: final-rmsnorm + speech-head GEMV tiles -> logits rows
+#   j = JH     : pad/BOS/EOS masking, temperature, top-k threshold and
+#                Gumbel-max sampling (pltpu PRNG) -> next token id (SMEM)
+# The XLA loop body shrinks to: embed sampled token, EOS bookkeeping —
+# the head GEMV and lax.top_k sampler were ~40% of the per-step wall time.
 #
 # All weights live in TILE-MAJOR stacked arrays so every grid step's block
 # is one contiguous DMA (column tiles of a row-major [D, F] array are
@@ -381,7 +392,7 @@ def fused_ok(params, cfg, batch: int) -> bool:
 
 
 def _mega_kernel(
-    sc_ref,        # [1, 2] SMEM: (t, off)
+    sc_ref,        # [1, 4] SMEM: (t, off, suppress_eos, seed)
     h_ref,         # [1, D] bf16 input residual
     anrm_ref,      # [1, 1, D] block of stacked attn norms
     wqkv3_ref,     # [1, 1, D, N] int8 — q/k/v third for this (l, j<3)
@@ -395,49 +406,67 @@ def _mega_kernel(
     wgus_ref,      # [1, 1, 1, 2*TF]
     wd_ref,        # [1, 1, TF, D] int8
     wds_ref,       # [1, 1, D]
+    fnrm_ref,      # [1, D] final rmsnorm weight
+    head_ref,      # [1, D, TV] int8 — speech-head tile (head phase)
+    heads_ref,     # [1, 1, TV] f32
     kin_ref,       # [L, S, KH] ANY (aliased with kout)
     vin_ref,
     ho_ref,        # [1, D] bf16 out
+    tok_ref,       # [1, 1] SMEM int32 — sampled next token
     kout_ref, vout_ref,
     h_s,           # VMEM [1, D] bf16 — residual stream across grid steps
     q_s, k_s, v_s, # VMEM [1, N] f32
     acc,           # VMEM [1, D] f32 — FFN accumulator
-    kc2, vc2,      # VMEM [2, S, KH] bf16 — revolving cache slots
+    logit_s,       # VMEM [8, TV] f32 — head-tile logits rows (JH used)
+    kc, vc,        # VMEM [S, KH] bf16 — this layer's cache copy
     kwin, vwin,    # VMEM [8, KH] bf16 — aligned write windows
-    rd_sems,       # DMA sems (2, 2): [slot, k/v]
+    rd_sems,       # DMA sems (2,): k / v reads
     wr_sems,       # DMA sems (2,)
     *,
     n_heads: int,
     head_dim: int,
     eps: float,
+    n_head_tiles: int,
+    vocab: int,
+    pad_id: int,
+    bos_id: int,
+    eos_id: int,
+    greedy: bool,
+    temperature: float,
+    top_k: int,
 ):
     l = pl.program_id(0)
     j = pl.program_id(1)
-    L = pl.num_programs(0)
+    NL = pl.num_programs(0) - 1        # real transformer layers
     J = pl.num_programs(1)
     H, hd = n_heads, head_dim
     N = H * hd
-    S = kc2.shape[1]
+    S = kc.shape[0]
+    TV = logit_s.shape[1]
+    JH = n_head_tiles
     tt = sc_ref[0, 0]
     off = sc_ref[0, 1]
-    slot = jax.lax.rem(l, 2)
-    nslot = jax.lax.rem(l + 1, 2)
 
-    def rd_copies(layer, s):
+    def rd_copies(layer):
         return (
-            pltpu.make_async_copy(kin_ref.at[layer], kc2.at[s], rd_sems.at[s, 0]),
-            pltpu.make_async_copy(vin_ref.at[layer], vc2.at[s], rd_sems.at[s, 1]),
+            pltpu.make_async_copy(kin_ref.at[layer], kc, rd_sems.at[0]),
+            pltpu.make_async_copy(vin_ref.at[layer], vc, rd_sems.at[1]),
         )
 
     @pl.when((l == 0) & (j == 0))
     def _():
         h_s[:] = h_ref[:]
-        ck, cv = rd_copies(0, 0)
+
+    # start this layer's cache read; it overlaps the q/k GEMVs and is
+    # awaited at j == 2 (the DMA is ~2 us, the two GEMVs ~4 us)
+    @pl.when((l < NL) & (j == 0))
+    def _():
+        ck, cv = rd_copies(l)
         ck.start()
         cv.start()
 
     # ---- qkv thirds ------------------------------------------------------
-    @pl.when(j < 3)
+    @pl.when((l < NL) & (j < 3))
     def _():
         hf = h_s[:].astype(jnp.float32)
         x = _rmsnorm_f32(hf, anrm_ref[0], eps).astype(jnp.bfloat16)
@@ -460,24 +489,22 @@ def _mega_kernel(
             v_s[:] = part
 
     # ---- rope + cache-window write (needs k, v; q roped here too) -------
-    @pl.when(j == 2)
+    @pl.when((l < NL) & (j == 2))
     def _():
         cos = cos_ref[:]
         sin = sin_ref[:]
         q_s[:] = _rope_flat(q_s[:], cos, sin, hd)
         k_s[:] = _rope_flat(k_s[:], cos, sin, hd)
-        ck, cv = rd_copies(l, slot)
+        ck, cv = rd_copies(l)
         ck.wait()
         cv.wait()
         t8 = pl.multiple_of((tt // 8) * 8, 8)
         rw = jax.lax.broadcasted_iota(jnp.int32, (8, N), 0)
         kwin[:] = jnp.where(
-            rw == tt - t8, k_s[:].astype(jnp.bfloat16),
-            kc2[slot, pl.ds(t8, 8), :],
+            rw == tt - t8, k_s[:].astype(jnp.bfloat16), kc[pl.ds(t8, 8), :]
         )
         vwin[:] = jnp.where(
-            rw == tt - t8, v_s[:].astype(jnp.bfloat16),
-            vc2[slot, pl.ds(t8, 8), :],
+            rw == tt - t8, v_s[:].astype(jnp.bfloat16), vc[pl.ds(t8, 8), :]
         )
         pltpu.make_async_copy(
             kwin, kout_ref.at[l, pl.ds(t8, 8), :], wr_sems.at[0]
@@ -487,7 +514,7 @@ def _mega_kernel(
         ).start()
 
     # ---- attention + out-projection --------------------------------------
-    @pl.when(j == 3)
+    @pl.when((l < NL) & (j == 3))
     def _():
         g_mat = (
             jax.lax.broadcasted_iota(jnp.int32, (N, H), 0) // hd
@@ -497,7 +524,7 @@ def _mega_kernel(
         q = q_s[:]
         k_new = k_s[:]
         v_new = v_s[:]
-        kcf = kc2[slot].astype(jnp.float32)
+        kcf = kc[:].astype(jnp.float32)
         logits = (
             jnp.dot(kcf * q, g_mat, preferred_element_type=jnp.float32) * scale
         )
@@ -511,7 +538,7 @@ def _mega_kernel(
         p = jnp.exp(logits - m)
         pc = jnp.exp(cur - m)
         denom = jnp.sum(p, axis=0, keepdims=True) + pc
-        vcf = vc2[slot].astype(jnp.float32)
+        vcf = vc[:].astype(jnp.float32)
         p_exp = jnp.dot(p, g_mat.T, preferred_element_type=jnp.float32)
         num = jnp.sum(p_exp * vcf, axis=0, keepdims=True)
         pc_exp = jnp.dot(pc, g_mat.T, preferred_element_type=jnp.float32)
@@ -531,15 +558,7 @@ def _mega_kernel(
         ).wait()
 
     # ---- FFN tiles --------------------------------------------------------
-    @pl.when(j == 4)
-    def _():
-        @pl.when(l + 1 < L)
-        def _():
-            ck, cv = rd_copies(l + 1, nslot)
-            ck.start()
-            cv.start()
-
-    @pl.when(j >= 4)
+    @pl.when((l < NL) & (j >= 4))
     def _():
         tf = wd_ref.shape[2]
         hf = h_s[:].astype(jnp.float32)
@@ -571,13 +590,61 @@ def _mega_kernel(
                 h_s[:].astype(jnp.float32) + acc[:] * wds_ref[0]
             ).astype(h_s.dtype)
 
-            @pl.when(l == L - 1)
+            @pl.when(l == NL - 1)
             def _():
                 ho_ref[:] = h_s[:]
 
+    # ---- head phase: final norm + head GEMV tiles + sampling -------------
+    @pl.when((l == NL) & (j < JH))
+    def _():
+        hf = h_s[:].astype(jnp.float32)
+        xn = _rmsnorm_f32(hf, fnrm_ref[:], eps).astype(jnp.bfloat16)
+        row = (
+            jnp.dot(xn, head_ref[0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            * heads_ref[0]
+        )
+        logit_s[pl.ds(j, 1), :] = row
+
+    @pl.when((l == NL) & (j == JH))
+    def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, TV), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (8, TV), 1)
+        fid = rows * TV + cols                       # flat vocab id per slot
+        y = logit_s[:]
+        invalid = (
+            (rows >= JH) | (fid >= vocab)
+            | (fid == pad_id) | (fid == bos_id)
+            | ((fid == eos_id) & (sc_ref[0, 2] != 0))
+        )
+        y = jnp.where(invalid, NEG_INF, y)
+        if not greedy:
+            y = y / max(temperature, 1e-6)
+            if top_k and top_k > 0:
+                # top-k threshold: strip the k-1 largest, the max of the rest
+                # is the k-th value; ties at the threshold stay (same as the
+                # XLA sampler's `logits < thresh` masking)
+                cur = y
+                for _ in range(top_k - 1):
+                    cur = jnp.where(cur >= jnp.max(cur), NEG_INF, cur)
+                y = jnp.where(y < jnp.max(cur), NEG_INF, y)
+            # Gumbel-max == categorical sampling
+            pltpu.prng_seed(sc_ref[0, 3])
+            bits = pltpu.bitcast(pltpu.prng_random_bits((8, TV)), jnp.uint32)
+            # Mosaic lacks uint32->f32; >>8 keeps 24 bits so int32 is exact
+            b24 = pltpu.bitcast(bits >> 8, jnp.int32)
+            u = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
+            y = y - jnp.log(-jnp.log(u))
+        pick = jnp.min(jnp.where(y >= jnp.max(y), fid, jnp.int32(2**30)))
+        tok_ref[0, 0] = pick.astype(jnp.int32)
+
 
 @functools.partial(
-    jax.jit, static_argnames=("n_heads", "head_dim", "eps", "interpret")
+    jax.jit,
+    static_argnames=(
+        "n_heads", "head_dim", "eps", "vocab", "pad_id", "bos_id", "eos_id",
+        "greedy", "temperature", "top_k", "interpret",
+    ),
 )
 def mega_decode_step(
     h: jnp.ndarray,      # [1, D] bf16
@@ -588,41 +655,58 @@ def mega_decode_step(
     v_all: jnp.ndarray,
     t: jnp.ndarray,
     off: jnp.ndarray,
+    suppress_eos: jnp.ndarray,   # int32 scalar: 1 -> mask EOS (min_tokens)
+    seed: jnp.ndarray,           # int32 scalar PRNG seed for this step
     *,
     n_heads: int,
     head_dim: int,
     eps: float,
+    vocab: int,
+    pad_id: int,
+    bos_id: int,
+    eos_id: int,
+    greedy: bool = True,
+    temperature: float = 1.0,
+    top_k: int = 0,
     interpret: bool = False,
 ):
-    """Full transformer decode step (all layers) in ONE pallas_call.
-    Returns (h', k_all', v_all'); caches updated in place via aliasing."""
+    """Full transformer decode step — all layers PLUS final norm, speech
+    head and top-k/Gumbel sampling — in ONE pallas_call. Returns
+    (h_last, next_token [1,1] int32, k_all', v_all'); caches updated in
+    place via aliasing. `t`/`off`/`suppress_eos`/`seed` ride in SMEM."""
     L, S, KH = k_all.shape
     D = h.shape[1]
     N = n_heads * head_dim
     JM = mp["wd_t"].shape[1]
     TF = mp["wd_t"].shape[2]
+    JH = mp["head_t"].shape[0]
+    TV = mp["head_t"].shape[2]
     J = 4 + JM
     assert S % 8 == 0, S
+    assert J > JH, (J, JH)   # head tiles + sample step fit one grid row
     kernel = functools.partial(
-        _mega_kernel, n_heads=n_heads, head_dim=head_dim, eps=eps
+        _mega_kernel, n_heads=n_heads, head_dim=head_dim, eps=eps,
+        n_head_tiles=JH, vocab=vocab, pad_id=pad_id,
+        bos_id=bos_id, eos_id=eos_id,
+        greedy=greedy, temperature=temperature, top_k=top_k,
     )
     c2 = lambda l, j: (0, 0)
-    lmap3 = lambda l, j: (l, 0, 0)
+    lmap3 = lambda l, j: (jnp.minimum(l, L - 1), 0, 0)
     return pl.pallas_call(
         kernel,
-        grid=(L, J),
+        grid=(L + 1, J),
         in_specs=[
-            pl.BlockSpec((1, 2), c2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), c2, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, D), c2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, D, N),
-                lambda l, j: (l, jnp.minimum(j, 2), 0, 0),
+                lambda l, j: (jnp.minimum(l, L - 1), jnp.minimum(j, 2), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, 1, N),
-                lambda l, j: (l, jnp.minimum(j, 2), 0, 0),
+                lambda l, j: (jnp.minimum(l, L - 1), jnp.minimum(j, 2), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, N, D), lmap3, memory_space=pltpu.VMEM),
@@ -632,61 +716,87 @@ def mega_decode_step(
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, D, 2 * TF),
-                lambda l, j: (l, jnp.maximum(j - 4, 0), 0, 0),
+                lambda l, j: (
+                    jnp.minimum(l, L - 1), jnp.maximum(j - 4, 0), 0, 0
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, 1, 2 * TF),
-                lambda l, j: (l, jnp.maximum(j - 4, 0), 0, 0),
+                lambda l, j: (
+                    jnp.minimum(l, L - 1), jnp.maximum(j - 4, 0), 0, 0
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, TF, D),
-                lambda l, j: (l, jnp.maximum(j - 4, 0), 0, 0),
+                lambda l, j: (
+                    jnp.minimum(l, L - 1), jnp.maximum(j - 4, 0), 0, 0
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, D, TV),
+                lambda l, j: (
+                    jnp.where(l == L, jnp.minimum(j, JH - 1), 0), 0, 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, TV),
+                lambda l, j: (
+                    jnp.where(l == L, jnp.minimum(j, JH - 1), 0), 0, 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, D), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), c2, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, D), h.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
             jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
         ),
-        input_output_aliases={14: 1, 15: 2},
+        input_output_aliases={17: 2, 18: 3},
         scratch_shapes=[
             pltpu.VMEM((1, D), h.dtype),
             pltpu.VMEM((1, N), jnp.float32),
             pltpu.VMEM((1, N), jnp.float32),
             pltpu.VMEM((1, N), jnp.float32),
             pltpu.VMEM((1, D), jnp.float32),
-            pltpu.VMEM((2, S, KH), k_all.dtype),
-            pltpu.VMEM((2, S, KH), v_all.dtype),
+            pltpu.VMEM((8, TV), jnp.float32),
+            pltpu.VMEM((S, KH), k_all.dtype),
+            pltpu.VMEM((S, KH), v_all.dtype),
             pltpu.VMEM((8, KH), k_all.dtype),
             pltpu.VMEM((8, KH), v_all.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * L * D * (3 * N + N + 6 * TF * JM),
+            flops=2 * L * D * (3 * N + N + 6 * TF * JM) + 2 * D * JH * TV,
             bytes_accessed=(
                 mp["wqkv3"].size + mp["wo"].size + mp["wgu_t"].size
-                + mp["wd_t"].size + 4 * L * S * KH
+                + mp["wd_t"].size + mp["head_t"].size + 4 * L * S * KH
             ),
-            transcendentals=L * (S * n_heads + TF * JM),
+            transcendentals=L * (S * n_heads + TF * JM) + JH * TV,
         ),
     )(
         jnp.concatenate(
-            [t.reshape(1, 1), off.reshape(1, 1)], axis=1
+            [t.reshape(1, 1), off.reshape(1, 1), suppress_eos.reshape(1, 1),
+             seed.reshape(1, 1)], axis=1
         ).astype(jnp.int32),
         h, mp["attn_norm"], mp["wqkv3"], mp["wqs3"], mp["wo"], mp["wos"],
         cos_row, sin_row, mp["mlp_norm"], mp["wgu_t"], mp["wgus_t"],
-        mp["wd_t"], mp["wds"], k_all, v_all,
+        mp["wd_t"], mp["wds"], mp["final_norm"], mp["head_t"], mp["head_s"],
+        k_all, v_all,
     )

@@ -383,7 +383,9 @@ class Engine:
         s_max = -(-(P + max_new + 1) // 8) * 8
         if (
             B != 1
-            or s_max > 768
+            # cache-copy VMEM scratch: 1032 slots measured good on v5e
+            # (k+v bf16 ~4.2 MB + ~10 MB double-buffered weight tiles)
+            or s_max > 1032
             or jax.default_backend() == "cpu"
             or not self.cfg.quantize_lm_int8
             or self.mesh is not None   # sharded params stay on the GSPMD path
