@@ -22,13 +22,16 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv import conv1d, conv1d_init, conv_transpose1d, conv_transpose1d_init
+from ..ops.conv import (conv1d, conv1d_init, conv_transpose1d,
+                        conv_transpose1d_init, layer_norm, layer_norm_init)
 from ..utils.config import VocoderConfig
 
 Params = Dict
 
 
 def init_params(key: jax.Array, cfg: VocoderConfig) -> Params:
+    if getattr(cfg, "kind", "hifigan") == "istft":
+        return init_params_istft(key, cfg)
     n_up = len(cfg.upsample_rates)
     keys = jax.random.split(key, 2 + n_up)
     C = cfg.base_channels
@@ -64,7 +67,9 @@ def init_params(key: jax.Array, cfg: VocoderConfig) -> Params:
 
 
 def apply(params: Params, cfg: VocoderConfig, mel: jnp.ndarray) -> jnp.ndarray:
-    """[B, F, n_mels] -> [B, F * prod(rates)] waveform in [-1, 1]."""
+    """[B, F, n_mels] -> [B, F * samples_per_frame] waveform in [-1, 1]."""
+    if getattr(cfg, "kind", "hifigan") == "istft":
+        return apply_istft(params, cfg, mel)
     h = conv1d(mel, params["pre"])
     for i, up in enumerate(params["ups"]):
         h = jax.nn.leaky_relu(h, 0.1)
@@ -90,10 +95,74 @@ def apply(params: Params, cfg: VocoderConfig, mel: jnp.ndarray) -> jnp.ndarray:
 
 
 def total_upsample(cfg: VocoderConfig) -> int:
+    if getattr(cfg, "kind", "hifigan") == "istft":
+        return cfg.istft_hop
     out = 1
     for r in cfg.upsample_rates:
         out *= r
     return out
+
+
+# ----------------------------------------------------------------------- istft kind
+
+
+def init_params_istft(key: jax.Array, cfg: VocoderConfig) -> Params:
+    """Vocos-class generator: mel -> ConvNeXt-style frame-rate backbone ->
+    (log-magnitude, phase) -> GEMM iSTFT. All compute stays at 50 Hz frame
+    rate; the only sample-rate op is the [n_bins, n_fft] synthesis matmul —
+    the TPU-native alternative to the ConvTranspose stack (which spends most
+    of its FLOPs at 4.8-24 kHz intermediate rates)."""
+    C = cfg.istft_channels
+    n_bins = cfg.istft_n_fft // 2 + 1
+    keys = jax.random.split(key, 2 + 3 * cfg.istft_blocks)
+    std = lambda fan: 1.0 / math.sqrt(fan)
+
+    def dense(k, i, o):
+        return {
+            "w": jax.random.uniform(k, (i, o), jnp.float32, -std(i), std(i)),
+            "b": jnp.zeros((o,), jnp.float32),
+        }
+
+    p: Params = {
+        "pre": conv1d_init(keys[0], cfg.n_mels, C, 7),
+        "blocks": [],
+        "head": dense(keys[1], C, 2 * n_bins),
+    }
+    for i in range(cfg.istft_blocks):
+        k1, k2, k3 = keys[2 + 3 * i : 5 + 3 * i]
+        p["blocks"].append(
+            {
+                "conv": conv1d_init(k1, C, C, cfg.istft_kernel),
+                "ln": layer_norm_init(C),
+                "pw1": dense(k2, C, 3 * C),
+                "pw2": dense(k3, 3 * C, C),
+            }
+        )
+    return p
+
+
+def apply_istft(params: Params, cfg: VocoderConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """[B, F, n_mels] -> [B, F * istft_hop] waveform. f32 throughout: the
+    backbone is ~30 GFLOP for 10 s of audio (measured at the host-roundtrip
+    floor on v5e either way), and f32 keeps the conv VJPs dtype-clean for
+    GAN training."""
+    from ..ops.stft import istft_overlap_add
+
+    n_bins = cfg.istft_n_fft // 2 + 1
+    h = conv1d(mel, params["pre"])
+    for blk in params["blocks"]:
+        x = conv1d(h, blk["conv"], dilation=1)
+        x = layer_norm(x, blk["ln"])
+        x = jax.nn.gelu(x @ blk["pw1"]["w"] + blk["pw1"]["b"])
+        x = x @ blk["pw2"]["w"] + blk["pw2"]["b"]
+        h = h + x
+    out = h @ params["head"]["w"] + params["head"]["b"]       # [B, F, 2*n_bins]
+    log_mag, phase = out[..., :n_bins], out[..., n_bins:]
+    mag = jnp.exp(jnp.clip(log_mag, -12.0, 6.0))
+    spec_r = mag * jnp.cos(phase)
+    spec_i = mag * jnp.sin(phase)
+    wav = istft_overlap_add(spec_r, spec_i, cfg.istft_n_fft, cfg.istft_hop)
+    return jnp.clip(wav, -1.0, 1.0)
 
 
 # ----------------------------------------------------------------------- losses

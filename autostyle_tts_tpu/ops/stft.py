@@ -189,3 +189,71 @@ def log_mel_spectrogram_np(
         spec[i] = np.abs(f) ** 2
     fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
     return np.log(np.maximum(spec @ fb, eps)).astype(np.float32)
+
+
+# ----------------------------------------------------------------------- iSTFT (GEMM-native)
+
+
+@functools.lru_cache(maxsize=None)
+def _istft_basis(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse real-DFT synthesis basis (cos, -sin), each [n_bins, n_fft],
+    with Hermitian weights (a_k = 2 except DC/Nyquist), 1/N normalization and
+    the periodic-Hann synthesis window folded in."""
+    n_bins = n_fft // 2 + 1
+    w = _hann(n_fft)
+    a = np.full(n_bins, 2.0)
+    a[0] = 1.0
+    if n_fft % 2 == 0:
+        a[-1] = 1.0
+    k = np.arange(n_bins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    cos = (a[:, None] * np.cos(ang) / n_fft * w[None, :]).astype(np.float32)
+    msin = (-a[:, None] * np.sin(ang) / n_fft * w[None, :]).astype(np.float32)
+    return cos, msin
+
+
+@functools.lru_cache(maxsize=None)
+def _ola_envelope(n_frames: int, n_fft: int, hop: int) -> np.ndarray:
+    """Overlap-added squared-window normalization envelope [(F+R-1)*hop]."""
+    w2 = _hann(n_fft) ** 2
+    r = n_fft // hop
+    out = np.zeros((n_frames + r - 1) * hop, np.float32)
+    for f in range(n_frames):
+        out[f * hop : f * hop + n_fft] += w2
+    return out
+
+
+def istft_overlap_add(
+    spec_r: jnp.ndarray,   # [..., F, n_bins] real part
+    spec_i: jnp.ndarray,   # [..., F, n_bins] imag part
+    n_fft: int,
+    hop: int,
+) -> jnp.ndarray:
+    """Standard iSTFT (Hann synthesis window, sum-w^2 normalization) as two
+    MXU matmuls + R=n_fft/hop shifted adds -> [..., F*hop] samples.
+
+    The frame->sample expansion is ONE GEMM ([F, n_bins] @ [n_bins, n_fft])
+    instead of a ConvTranspose upsampling stack — the TPU-native vocoder
+    output path (SURVEY §2.3.1 vocoder row). Output sample i sits at
+    overlap-add buffer offset i + (n_fft - hop)/2, so frame f is centred on
+    output block f (exactly hop samples per frame; the engine's frame<->
+    sample crop invariant holds)."""
+    assert n_fft % hop == 0, (n_fft, hop)
+    r_chunks = n_fft // hop
+    F = spec_r.shape[-2]
+    cos_b, msin_b = _istft_basis(n_fft)
+    frames = (
+        jnp.matmul(spec_r, jnp.asarray(cos_b), preferred_element_type=jnp.float32)
+        + jnp.matmul(spec_i, jnp.asarray(msin_b), preferred_element_type=jnp.float32)
+    )                                                     # [..., F, n_fft]
+    lead = frames.shape[:-2]
+    L = (F + r_chunks - 1) * hop
+    out = jnp.zeros(lead + (L,), jnp.float32)
+    for r in range(r_chunks):
+        seg = frames[..., :, r * hop : (r + 1) * hop].reshape(lead + (F * hop,))
+        out = out.at[..., r * hop : r * hop + F * hop].add(seg)
+    env = jnp.asarray(_ola_envelope(F, n_fft, hop))
+    out = out / jnp.maximum(env, 1e-8)
+    start = (n_fft - hop) // 2
+    return out[..., start : start + F * hop]

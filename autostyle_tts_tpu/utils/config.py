@@ -138,14 +138,29 @@ class CFMConfig:
 
 @dataclass(frozen=True)
 class VocoderConfig:
-    """HiFi-GAN-class 24 kHz vocoder (HiFT-equivalent stage)."""
+    """24 kHz vocoder (HiFT-equivalent stage). Two generator families:
+
+    kind="hifigan": ConvTranspose upsampling + MRF resblocks (the classic
+    HiFi-GAN topology the reference's engine shipped).
+    kind="istft": Vocos-class TPU-native head — a frame-rate ConvNeXt
+    backbone predicts magnitude+phase and a GEMM-native iSTFT produces
+    samples (ops/stft.istft_overlap_add); no sample-rate convolutions at
+    all, ~6x less generator compute per second of audio. Both train under
+    the same mel/STFT/GAN losses (train/acoustic.py)."""
 
     n_mels: int = 80
+    kind: str = "istft"     # flagship default: the TPU-native generator
     base_channels: int = 512
     upsample_rates: Tuple[int, ...] = (5, 4, 4, 3, 2)     # prod = 480 = hop
     upsample_kernel_sizes: Tuple[int, ...] = (10, 8, 8, 6, 4)
     resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
     resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    # istft-kind fields
+    istft_hop: int = 480            # samples per mel frame (= audio.hop_length)
+    istft_n_fft: int = 1920         # 4x hop -> 75% overlap Hann OLA
+    istft_channels: int = 512
+    istft_blocks: int = 8
+    istft_kernel: int = 7
 
 
 @dataclass(frozen=True)
@@ -289,7 +304,7 @@ def demo_config() -> Config:
         dim=256, n_layers=4, n_heads=4, ffn_dim=1024,
         token_vocab_size=515, n_steps=10,
     )
-    cfg.vocoder = VocoderConfig(base_channels=192)
+    cfg.vocoder = VocoderConfig(kind="hifigan", base_channels=192)
     cfg.speaker = SpeakerEncoderConfig(channels=256)
     cfg.speech_tokenizer = SpeechTokenizerConfig(
         dim=192, n_layers=3, n_heads=4, ffn_dim=768, codebook_size=512,
@@ -315,6 +330,7 @@ def tiny_config() -> Config:
         token_vocab_size=67, spk_dim=16, n_steps=4,
     )
     cfg.vocoder = VocoderConfig(
+        kind="hifigan",
         n_mels=16, base_channels=32, upsample_rates=(4, 4, 2),
         upsample_kernel_sizes=(8, 8, 4), resblock_kernel_sizes=(3,),
         resblock_dilations=((1, 3),),
