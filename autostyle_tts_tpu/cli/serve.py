@@ -23,6 +23,8 @@ import argparse
 import json
 import sys
 import time
+
+import numpy as np
 from pathlib import Path
 from typing import Dict, List, Optional, TextIO
 
@@ -75,6 +77,14 @@ def main(argv=None) -> None:
     p.add_argument("--timbre_map", type=str, default=None,
                    help="'id=path,...' or JSON — registered timbre_id values")
     p.add_argument("--max_seconds", type=float, default=20.0)
+    p.add_argument("--continuous", action="store_true",
+                   help="iteration-level continuous batching: requests join "
+                        "a live slot pool mid-decode instead of waiting for "
+                        "the current batch (pipeline/continuous.py)")
+    p.add_argument("--slots", type=int, default=4,
+                   help="--continuous: concurrent decode slots")
+    p.add_argument("--chunk", type=int, default=32,
+                   help="--continuous: decode steps between scheduler ticks")
     args = p.parse_args(argv)
 
     engine = build_engine(args)
@@ -108,8 +118,81 @@ def main(argv=None) -> None:
             wav_cache[path] = load_wav_fast(path, sr)
         return wav_cache[path]
 
+    def emit(req, wav, t0):
+        nonlocal served
+        rid = str(req.get("id", served))
+        out = result_dir / f"{rid}.wav"
+        save_wav_22050_or_24k(out, wav, engine)
+        served += 1
+        print(json.dumps({
+            "id": rid, "wav": str(out), "samples": int(wav.size),
+            "audio_s": round(wav.size / out_sr, 3),
+            "latency_ms": round((time.perf_counter() - t0) * 1000, 1),
+        }), flush=True)
+
     stream = sys.stdin if args.requests == "-" else open(args.requests, encoding="utf-8")
     served = 0
+    if args.continuous:
+        from ..pipeline.continuous import ContinuousBatcher
+
+        tl = engine.cfg.token_lm
+        batcher = ContinuousBatcher(
+            engine, slots=args.slots, chunk=args.chunk,
+            max_new=int(args.max_seconds * tl.token_rate),
+        )
+
+        def featurize_req(req):
+            req["_t0"] = time.perf_counter()
+            for key, kind in (("style_feat", "style"), ("flow_feat", "timbre")):
+                v = prompt_of(req, kind)
+                req[key] = (
+                    v if hasattr(v, "tokens")
+                    else engine.prompt_features([np.asarray(v).reshape(-1)])[0]
+                )
+            return req
+
+        def try_read(block: bool) -> bool:
+            """Read request lines; returns False on EOF. Non-blocking when
+            decode work is in flight (stdin polled via select)."""
+            import select
+
+            while True:
+                if stream is sys.stdin and not block:
+                    r, _, _ = select.select([stream], [], [], 0)
+                    if not r:
+                        return True
+                line = stream.readline()
+                if not line:
+                    return False
+                block = False
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    batcher.submit(featurize_req(json.loads(line)))
+                except Exception as e:
+                    print(json.dumps({"error": str(e)}), flush=True)
+
+        eof = False
+        try:
+            while True:
+                if not eof:
+                    # block for input only when nothing is in flight
+                    eof = not try_read(block=batcher.idle)
+                if eof and batcher.idle:
+                    break
+                finished = batcher.step()
+                wavs = engine.synthesize_from_tokens(
+                    finished, max_seconds=args.max_seconds
+                )
+                for req, wav in zip(finished, wavs):
+                    emit(req, wav, req.get("_t0", time.perf_counter()))
+        finally:
+            if stream is not sys.stdin:
+                stream.close()
+        print(json.dumps({"served": served, "done": True}), flush=True)
+        return
+
     try:
         while True:
             requests = _read_batch(stream, args.batch, args.max_wait_ms)

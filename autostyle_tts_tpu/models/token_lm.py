@@ -503,3 +503,96 @@ def lm_loss(
     nll = -jnp.take_along_axis(logp, tgt[:, :, None], axis=-1)[..., 0]
     w = (idx <= target_len[:, None]).astype(jnp.float32)       # include EOS step
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+# ----------------------------------------------------------------------- continuous batching
+
+
+@partial(jax.jit, static_argnames=("cfg", "s_max"))
+def prefill_prefix(
+    params: Params, cfg: TokenLMConfig, prefix: Prefix, *, s_max: int
+):
+    """Prefill one (or a batch of) prefix into a fresh [L, B, s_max, K, hd]
+    cache. Returns (cache, next_logits [B, V] f32, offset [B]). The slot-
+    admission half of the continuous-batching path (pipeline/continuous.py)."""
+    ccfg = core_config(cfg)
+    B, P, D = prefix.embeds.shape
+    cache = core.make_cache(ccfg, B, s_max)
+    slot = jnp.arange(s_max, dtype=jnp.int32)
+    offset = (P - prefix.length).astype(jnp.int32)
+    pos = jnp.maximum(jnp.arange(P, dtype=jnp.int32)[None, :] - offset[:, None], 0)
+    valid = slot[None, :] >= offset[:, None]
+    pmask = causal_mask(P, s_max) & valid[:, None, None, :]
+    out = core.forward(
+        params, ccfg, inputs_embeds=prefix.embeds, positions=pos, mask=pmask,
+        cache=cache, cache_start=jnp.int32(0), skip_logits=True,
+        flash_offset=offset if core.flash_ok(P, ccfg.head_dim) else None,
+    )
+    next_logits = core.matmul_any(
+        out.hidden[:, -1], params["speech_head"]
+    ).astype(jnp.float32)
+    return out.cache, next_logits, offset
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "sampler", "min_tokens"),
+    donate_argnames=("cache",),
+)
+def decode_chunk(
+    params: Params,
+    cfg: TokenLMConfig,
+    cache: Dict,
+    cur_logits: jnp.ndarray,    # [B, V] logits for each slot's NEXT token
+    t: jnp.ndarray,             # [B] absolute cache slot the next token writes
+    offset: jnp.ndarray,        # [B] left-pad per slot
+    done: jnp.ndarray,          # [B] bool (idle/finished slots churn PAD)
+    steps: jnp.ndarray,         # [B] tokens generated so far per slot
+    key: jax.Array,
+    *,
+    n_steps: int,
+    sampler: SamplerConfig = SamplerConfig(temperature=1.0, top_k=25),
+    min_tokens: int = 2,
+):
+    """Advance EVERY slot by `n_steps` tokens in one program — the inner loop
+    of iteration-level continuous batching. Unlike generate_speech, each slot
+    sits at its OWN decode position (per-row cache_start -> batched scatter
+    in the core), so requests admitted at different times share one batch.
+    Returns (cache, cur_logits, t, done, steps, tokens [B, n_steps])."""
+    ccfg = core_config(cfg)
+    B, V = cur_logits.shape
+    S_max = cache["k"].shape[2]
+    slot = jnp.arange(S_max, dtype=jnp.int32)
+    eos, padt = cfg.speech_eos, cfg.speech_pad
+    head = params["speech_head"]
+    dt = jnp.dtype(ccfg.dtype)
+
+    def step(carry, _):
+        cache, logits, t, done, steps, key = carry
+        key, sub = jax.random.split(key)
+        lg = logits.at[:, padt].set(-1e30).at[:, cfg.speech_bos].set(-1e30)
+        lg = jnp.where(
+            (steps < min_tokens)[:, None] & (jnp.arange(V) == eos)[None, :],
+            -1e30, lg,
+        )
+        tok = sample(sub, lg, sampler)
+        tok = jnp.where(done, padt, tok)
+        done = done | (tok == eos) | (t >= S_max - 2)
+        steps = steps + (tok != padt).astype(jnp.int32)
+        emb = params["speech_emb"][tok][:, None, :].astype(dt)
+        positions = jnp.maximum(t - offset, 0)[:, None]
+        smask = (
+            (slot[None, :] >= offset[:, None]) & (slot[None, :] <= t[:, None])
+        )[:, None, None, :]
+        out = core.forward(
+            params, ccfg, inputs_embeds=emb, positions=positions, mask=smask,
+            cache=cache, cache_start=t, skip_logits=True,
+        )
+        nxt = core.matmul_any(out.hidden[:, 0], head).astype(jnp.float32)
+        t = jnp.minimum(t + 1, S_max - 1)
+        return (out.cache, nxt, t, done, steps, key), tok
+
+    (cache, cur_logits, t, done, steps, _), toks = jax.lax.scan(
+        step, (cache, cur_logits, t, done, steps, key), None, length=n_steps,
+    )
+    return cache, cur_logits, t, done, steps, toks.T

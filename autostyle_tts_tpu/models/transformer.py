@@ -197,12 +197,24 @@ def _layer(
             "v_scale": upd(cache["v_scale"], vsn, (0, cache_start, 0)),
         }
     elif cache is not None:
-        ck = jax.lax.dynamic_update_slice(
-            cache["k"], k.astype(cache["k"].dtype), (0, cache_start, 0, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            cache["v"], v.astype(cache["v"].dtype), (0, cache_start, 0, 0)
-        )
+        if getattr(cache_start, "ndim", 0) == 1:
+            # per-ROW write positions (continuous batching: each slot is at
+            # its own decode step) — vmapped dynamic_update_slice lowers to
+            # one scatter over the batch dim
+            upd_row = jax.vmap(
+                lambda buf, val, s: jax.lax.dynamic_update_slice(
+                    buf, val, (s, 0, 0)
+                )
+            )
+            ck = upd_row(cache["k"], k.astype(cache["k"].dtype), cache_start)
+            cv = upd_row(cache["v"], v.astype(cache["v"].dtype), cache_start)
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, cache_start, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, cache_start, 0, 0)
+            )
         new_cache = {"k": ck, "v": cv}
         k_att, v_att = ck, cv
     else:

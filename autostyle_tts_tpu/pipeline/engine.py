@@ -717,6 +717,26 @@ class Engine:
 
     # ------------------------------------------------------------------ batched API
 
+    def synthesize_from_tokens(
+        self, reqs: List[Dict], max_seconds: float = 20.0
+    ) -> List[np.ndarray]:
+        """Render finished continuous-batching requests (each a dict with
+        "tokens" [T] int32 and "flow_feat" PromptFeatures) through the
+        batched CFM+vocoder stages — the audio half of the slot-scheduler
+        path (pipeline/continuous.py)."""
+        if not reqs:
+            return []
+        feats = [r["flow_feat"] for r in reqs]
+        (texts, feats2, toks), n_real = self._pad_batch(
+            [r.get("text", "") for r in reqs], feats,
+            [np.asarray(r["tokens"], np.int32) for r in reqs],
+        )
+        out = self._synthesize(
+            texts, [""] * len(texts), feats2, feats2,
+            max_seconds=max_seconds, lm_tokens_override=toks,
+        )
+        return out[:n_real]
+
     def synthesize_batch(
         self,
         tts_texts: List[str],
