@@ -123,18 +123,19 @@ class ContinuousBatcher:
         sty = np.asarray(req["style_feat"].tokens, np.int32)
         spk = np.asarray(req["flow_feat"].spk, np.float32)[None]
         # exact widths so P = p_max after pad_prefix
+        raw_p = 1 + len(ids) + 1 + len(sty)
+        if raw_p > self.p_max:
+            raise ValueError(
+                f"prefix {raw_p} > p_max {self.p_max} "
+                f"(longer text/style prompt than this batcher was built for)"
+            )
         text = jnp.asarray(np.asarray(ids, np.int32)[None])
-        pre = token_lm.build_prefix(
+        return token_lm.build_prefix_padded(
             eng.params.token_lm, self.tl, text,
             jnp.asarray([len(ids)], jnp.int32), jnp.asarray(sty[None]),
             jnp.asarray([len(sty)], jnp.int32), jnp.asarray(spk),
+            pad_multiple=self.p_max,
         )
-        if pre.embeds.shape[1] > self.p_max:
-            raise ValueError(
-                f"prefix {pre.embeds.shape[1]} > p_max {self.p_max} "
-                f"(longer text/style prompt than this batcher was built for)"
-            )
-        return token_lm.pad_prefix(pre, multiple=self.p_max)
 
     def _admit_one(self, b: int, req: dict) -> None:
         pre = self._build_prefix(req)

@@ -359,12 +359,13 @@ class Engine:
             sty_lens[i] = n
         max_new = _bucket(int(max_seconds * tl.token_rate), GEN_BUCKETS)
         with self.watch.span("lm_generate"):
-            pre = token_lm.build_prefix(
+            # ONE jitted program builds + pads the prefix (flash prefill
+            # block alignment); eager assembly cost ~45 ms over the tunnel
+            pre = token_lm.build_prefix_padded(
                 self.params.token_lm, tl,
                 self._dev(text_ids), self._dev(text_lens),
                 self._dev(sty), self._dev(sty_lens), self._dev(spk),
             )
-            pre = token_lm.pad_prefix(pre)  # flash prefill block alignment
             self.key, sub = jax.random.split(self.key)
             dp = self._fused_decode_params(pre.embeds.shape, max_new)
             gen = token_lm.generate_speech(
