@@ -90,7 +90,21 @@ def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512):
     )
     JMH = 4 + JM   # grid steps per layer; head tiles + sample must fit
     assert JH < JMH, (JH, JMH)
+    # speech-embedding table, bf16, row count padded to a multiple of 8 for
+    # the kernel's aligned row-window DMA
+    V8 = -(-V // 8) * 8
+    emb8 = jnp.zeros((V8, D), jnp.bfloat16).at[:V].set(
+        params["speech_emb"].astype(jnp.bfloat16)
+    )
+    # rotate-half inverse-frequency row, tiled across heads: lane h*hd + i
+    # multiplies position by inv_freq[i % (hd/2)] (same source as rope_table)
+    from ..ops.attention import rope_inv_freq
+
+    inv = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
+    invf = jnp.tile(jnp.concatenate([inv, inv]), cfg.n_kv_heads)[None, :]
     return {
+        "emb8": emb8,
+        "invf": invf,
         "attn_norm": lp["attn_norm"][:, None, :],
         "mlp_norm": lp["mlp_norm"][:, None, :],
         "wqkv3": q3,
@@ -350,8 +364,9 @@ def _generate_fused(
 ) -> SpeechGen:
     """Decode loop over the fused Pallas kernels (B=1). decode_params picks
     the flavor: a dict (mega_decode_params) runs ONE pallas_call per step —
-    layers + final norm + speech head + top-k/Gumbel sampling all in-kernel,
-    leaving only the token embed and EOS bookkeeping in XLA; a list
+    embedding lookup, RoPE rows, layers, final norm, speech head and
+    top-k/Gumbel sampling all in-kernel, leaving only EOS bookkeeping in
+    XLA; a list
     (unstack_decode_params) runs the per-layer attn_step/mlp_step pair with
     the XLA head/sampler (the parity reference)."""
     from ..ops.pallas_decode import attn_step, mega_decode_step, mlp_step
@@ -400,11 +415,9 @@ def _generate_fused(
         def step(carry):
             k_all, v_all, tok_prev, gen_len, i, toks = carry
             t_abs = (P + i - 1).astype(jnp.int32)   # cache slot of tok_prev
-            cosf, sinf = rope_rows(t_abs)
-            h = params["speech_emb"][tok_prev][None, :].astype(dt)
             suppress = (i < min_tokens).astype(jnp.int32)
             _, tok_out, k_all, v_all = mega_decode_step(
-                h, decode_params, cosf, sinf, k_all, v_all,
+                tok_prev, decode_params, k_all, v_all,
                 t_abs, off0, suppress, seeds[i],
                 n_heads=ccfg.n_heads, head_dim=hd, eps=ccfg.norm_eps,
                 vocab=cfg.speech_vocab_size, pad_id=padt,

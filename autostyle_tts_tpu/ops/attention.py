@@ -19,9 +19,16 @@ NEG_INF = -1e30
 # ----------------------------------------------------------------------- RoPE
 
 
+def rope_inv_freq(head_dim: int, theta: float = 10000.0) -> jnp.ndarray:
+    """[head_dim//2] rotate-half inverse frequencies — the ONE definition of
+    the RoPE parameterization (rope_table and the decode megakernel's
+    in-kernel rows both derive from it, keeping bit-parity if it changes)."""
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+
+
 def rope_table(max_len: int, head_dim: int, theta: float = 10000.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Precompute (cos, sin) [max_len, head_dim//2] tables."""
-    inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    inv = rope_inv_freq(head_dim, theta)
     t = jnp.arange(max_len, dtype=jnp.float32)
     ang = jnp.outer(t, inv)
     return jnp.cos(ang), jnp.sin(ang)

@@ -379,8 +379,11 @@ def fused_ok(params, cfg, batch: int) -> bool:
 #   j = 0..JH-1: final-rmsnorm + speech-head GEMV tiles -> logits rows
 #   j = JH     : pad/BOS/EOS masking, temperature, top-k threshold and
 #                Gumbel-max sampling (pltpu PRNG) -> next token id (SMEM)
-# The XLA loop body shrinks to: embed sampled token, EOS bookkeeping —
-# the head GEMV and lax.top_k sampler were ~40% of the per-step wall time.
+# The sampled token feeds back as an SMEM scalar: its embedding row is
+# DMA'd from the table and the RoPE rows are rebuilt from the position at
+# (0, 0) — the XLA loop body is ONLY EOS bookkeeping. The head GEMV,
+# lax.top_k sampler and embed/rope gathers it replaces were ~40% of the
+# per-step wall time outside the kernel.
 #
 # All weights live in TILE-MAJOR stacked arrays so every grid step's block
 # is one contiguous DMA (column tiles of a row-major [D, F] array are
@@ -392,15 +395,14 @@ def fused_ok(params, cfg, batch: int) -> bool:
 
 
 def _mega_kernel(
-    sc_ref,        # [1, 4] SMEM: (t, off, suppress_eos, seed)
-    h_ref,         # [1, D] bf16 input residual
+    sc_ref,        # [1, 5] SMEM: (t, off, suppress_eos, seed, tok_in)
+    emb_ref,       # [V8, D] bf16 speech-embedding table (ANY; row-DMA'd)
     anrm_ref,      # [1, 1, D] block of stacked attn norms
     wqkv3_ref,     # [1, 1, D, N] int8 — q/k/v third for this (l, j<3)
     wqs3_ref,      # [1, 1, 1, N] f32
     wo_ref,        # [1, N, D] int8
     wos_ref,       # [1, 1, D] f32
-    cos_ref,       # [1, N] f32 tiled rope row
-    sin_ref,       # [1, N]
+    invf_ref,      # [1, N] f32 tiled rotate-half inverse frequencies
     mnrm_ref,      # [1, 1, D]
     wgu_ref,       # [1, 1, D, 2*TF] int8 — interleaved gate|up tile
     wgus_ref,      # [1, 1, 1, 2*TF]
@@ -418,9 +420,11 @@ def _mega_kernel(
     q_s, k_s, v_s, # VMEM [1, N] f32
     acc,           # VMEM [1, D] f32 — FFN accumulator
     logit_s,       # VMEM [8, TV] f32 — head-tile logits rows (JH used)
+    cos_s, sin_s,  # VMEM [1, N] f32 — rope rows for this position
+    embw,          # VMEM [8, D] bf16 — aligned embedding-row window
     kc, vc,        # VMEM [S, KH] bf16 — this layer's cache copy
     kwin, vwin,    # VMEM [8, KH] bf16 — aligned write windows
-    rd_sems,       # DMA sems (2,): k / v reads
+    rd_sems,       # DMA sems (3,): k / v / emb reads
     wr_sems,       # DMA sems (2,)
     *,
     n_heads: int,
@@ -455,7 +459,24 @@ def _mega_kernel(
 
     @pl.when((l == 0) & (j == 0))
     def _():
-        h_s[:] = h_ref[:]
+        # embed the incoming token: DMA the 8-row-aligned window holding it
+        tok_in = sc_ref[0, 4]
+        e8 = pl.multiple_of((tok_in // 8) * 8, 8)
+        cp = pltpu.make_async_copy(
+            emb_ref.at[pl.ds(e8, 8), :], embw, rd_sems.at[2]
+        )
+        cp.start()
+        # rope rows for this position, built in-kernel: one cos/sin pass
+        # over [1, N] instead of per-step XLA gathers + tiles
+        pos = jnp.maximum(tt - off, 0).astype(jnp.float32)
+        cos_s[:] = jnp.cos(pos * invf_ref[:])
+        sin_s[:] = jnp.sin(pos * invf_ref[:])
+        cp.wait()
+        rw = jax.lax.broadcasted_iota(jnp.int32, embw.shape, 0)
+        h_s[:] = jnp.sum(
+            jnp.where(rw == tok_in - e8, embw[:], 0).astype(jnp.float32),
+            axis=0, keepdims=True,
+        ).astype(h_s.dtype)
 
     # start this layer's cache read; it overlaps the q/k GEMVs and is
     # awaited at j == 2 (the DMA is ~2 us, the two GEMVs ~4 us)
@@ -491,8 +512,8 @@ def _mega_kernel(
     # ---- rope + cache-window write (needs k, v; q roped here too) -------
     @pl.when((l < NL) & (j == 2))
     def _():
-        cos = cos_ref[:]
-        sin = sin_ref[:]
+        cos = cos_s[:]
+        sin = sin_s[:]
         q_s[:] = _rope_flat(q_s[:], cos, sin, hd)
         k_s[:] = _rope_flat(k_s[:], cos, sin, hd)
         ck, cv = rd_copies(l)
@@ -647,10 +668,8 @@ def _mega_kernel(
     ),
 )
 def mega_decode_step(
-    h: jnp.ndarray,      # [1, D] bf16
+    tok_in: jnp.ndarray, # int32 scalar — previous token (embedded in-kernel)
     mp: dict,            # mega_decode_params(...) tile-major weight pytree
-    cos_row: jnp.ndarray,
-    sin_row: jnp.ndarray,
     k_all: jnp.ndarray,  # [L, S, K*hd] bf16 flat caches
     v_all: jnp.ndarray,
     t: jnp.ndarray,
@@ -673,9 +692,12 @@ def mega_decode_step(
     """Full transformer decode step — all layers PLUS final norm, speech
     head and top-k/Gumbel sampling — in ONE pallas_call. Returns
     (h_last, next_token [1,1] int32, k_all', v_all'); caches updated in
-    place via aliasing. `t`/`off`/`suppress_eos`/`seed` ride in SMEM."""
+    place via aliasing. Scalars (slot/offset/eos-gate/seed/token) ride in
+    SMEM; the token's embedding row is DMA'd from the table in-kernel and
+    RoPE rows are built from the position — the XLA loop body is only EOS
+    bookkeeping."""
     L, S, KH = k_all.shape
-    D = h.shape[1]
+    D = mp["emb8"].shape[1]
     N = n_heads * head_dim
     JM = mp["wd_t"].shape[1]
     TF = mp["wd_t"].shape[2]
@@ -696,8 +718,8 @@ def mega_decode_step(
         kernel,
         grid=(L + 1, J),
         in_specs=[
-            pl.BlockSpec((1, 4), c2, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, D), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5), c2, memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, D, N),
@@ -711,7 +733,6 @@ def mega_decode_step(
             ),
             pl.BlockSpec((1, N, D), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), c2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N), c2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -761,24 +782,27 @@ def mega_decode_step(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, D), h.dtype),
+            jax.ShapeDtypeStruct((1, D), jnp.bfloat16),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
             jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
         ),
-        input_output_aliases={17: 2, 18: 3},
+        input_output_aliases={16: 2, 17: 3},
         scratch_shapes=[
-            pltpu.VMEM((1, D), h.dtype),
+            pltpu.VMEM((1, D), jnp.bfloat16),
             pltpu.VMEM((1, N), jnp.float32),
             pltpu.VMEM((1, N), jnp.float32),
             pltpu.VMEM((1, N), jnp.float32),
             pltpu.VMEM((1, D), jnp.float32),
             pltpu.VMEM((8, TV), jnp.float32),
+            pltpu.VMEM((1, N), jnp.float32),
+            pltpu.VMEM((1, N), jnp.float32),
+            pltpu.VMEM((8, D), jnp.bfloat16),
             pltpu.VMEM((S, KH), k_all.dtype),
             pltpu.VMEM((S, KH), v_all.dtype),
             pltpu.VMEM((8, KH), k_all.dtype),
             pltpu.VMEM((8, KH), v_all.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -793,10 +817,10 @@ def mega_decode_step(
     )(
         jnp.concatenate(
             [t.reshape(1, 1), off.reshape(1, 1), suppress_eos.reshape(1, 1),
-             seed.reshape(1, 1)], axis=1
+             seed.reshape(1, 1), tok_in.reshape(1, 1)], axis=1
         ).astype(jnp.int32),
-        h, mp["attn_norm"], mp["wqkv3"], mp["wqs3"], mp["wo"], mp["wos"],
-        cos_row, sin_row, mp["mlp_norm"], mp["wgu_t"], mp["wgus_t"],
+        mp["emb8"], mp["attn_norm"], mp["wqkv3"], mp["wqs3"], mp["wo"],
+        mp["wos"], mp["invf"], mp["mlp_norm"], mp["wgu_t"], mp["wgus_t"],
         mp["wd_t"], mp["wds"], mp["final_norm"], mp["head_t"], mp["head_s"],
         k_all, v_all,
     )

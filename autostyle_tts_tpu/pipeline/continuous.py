@@ -75,7 +75,7 @@ class ContinuousBatcher:
         engine,
         slots: int = 4,
         chunk: int = 32,
-        p_max: int = 256,
+        p_max: int = 384,    # byte-level text + style prompt headroom
         sampler: SamplerConfig = SamplerConfig(temperature=1.0, top_k=25),
         min_tokens: int = 2,
         max_new: int = 512,

@@ -87,6 +87,27 @@ def test_istft_vocoder_trains():
     assert losses[-1] < losses[0]      # moving downhill on a fixed batch
 
 
+def test_engine_istft_streaming_vc():
+    """Chunked streaming with the istft vocoder: OLA envelope normalization
+    keeps chunk boundaries consistent (concat length == non-streaming)."""
+    from autostyle_tts_tpu.pipeline.engine import Engine
+
+    cfg = tiny_config()
+    cfg.vocoder = _tiny_istft_cfg()
+    eng = Engine(cfg, seed=0)
+    sr = cfg.audio.prompt_sample_rate
+    t = np.arange(4 * sr) / sr      # 4 s source (40 tokens) -> 2+ chunks
+    src = (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    prm = (0.3 * np.sin(2 * np.pi * 300 * t[: sr])).astype(np.float32)
+    chunks = [o["tts_speech"][0] for o in eng.inference_vc(src, prm, stream=True)]
+    assert len(chunks) >= 2
+    stream_wav = np.concatenate(chunks)
+    eng2 = Engine(cfg, params=eng.params, seed=0)
+    full = next(eng2.inference_vc(src, prm))["tts_speech"][0]
+    assert len(stream_wav) == len(full)
+    assert np.isfinite(stream_wav).all()
+
+
 def test_engine_istft_kind_end_to_end():
     """Full tiny pipeline with the istft vocoder (engine invariant holds via
     total_upsample == audio.hop_length)."""
