@@ -178,6 +178,28 @@ def main() -> None:
     batch_rtf = t8_med / max(batch_audio_s, 1e-9)
     batch_utt_per_s = 8 / t8_med
 
+    # ---- continuous batching: 16 mixed-length requests through the slot
+    # scheduler (serve --continuous path) — requests join mid-decode, so
+    # short utterances don't wait for the longest bucket in their batch
+    from autostyle_tts_tpu.pipeline.continuous import ContinuousBatcher
+
+    def run_continuous() -> float:
+        bat = ContinuousBatcher(engine, slots=8, chunk=32, max_new=128)
+        for i in range(16):
+            bat.submit({
+                "id": i, "text": texts[i % len(texts)],
+                "style_text": style_text,
+                "style_feat": style_feats[i % len(style_feats)],
+                "flow_feat": timbre_feat,
+            })
+        t0 = time.perf_counter()
+        finished = bat.drain()
+        engine.synthesize_from_tokens(finished, max_seconds=5.0)
+        return 16 / (time.perf_counter() - t0)
+
+    run_continuous()  # warm (compiles prefill/chunk/admit programs)
+    cont_utt_per_s = float(np.median([run_continuous() for _ in range(3)]))
+
     # ---- streaming time-to-first-audio (windowed CFM/vocoder solve)
     def first_chunk() -> float:
         t0 = time.perf_counter()
@@ -224,6 +246,7 @@ def main() -> None:
                     "retrieval_qps_1k_styles_top5": round(retrieval_qps, 1),
                     "batch8_utt_per_s": round(batch_utt_per_s, 2),
                     "batch8_rtf": round(batch_rtf, 4),
+                    "continuous_16req_utt_per_s": round(cont_utt_per_s, 2),
                     "int8_lm": cfg.quantize_lm_int8,
                     "int8_kv": cfg.quantize_lm_kv_int8,
                     "device": str(jax.devices()[0]),
