@@ -85,6 +85,9 @@ def main(argv=None) -> None:
                    help="--continuous: concurrent decode slots")
     p.add_argument("--chunk", type=int, default=32,
                    help="--continuous: decode steps between scheduler ticks")
+    p.add_argument("--p_max", type=int, default=384,
+                   help="--continuous: prefix budget (text + style tokens); "
+                        "longer requests are rejected per-request")
     args = p.parse_args(argv)
 
     engine = build_engine(args)
@@ -137,7 +140,7 @@ def main(argv=None) -> None:
 
         tl = engine.cfg.token_lm
         batcher = ContinuousBatcher(
-            engine, slots=args.slots, chunk=args.chunk,
+            engine, slots=args.slots, chunk=args.chunk, p_max=args.p_max,
             max_new=int(args.max_seconds * tl.token_rate),
         )
 
@@ -187,6 +190,10 @@ def main(argv=None) -> None:
                 )
                 for req, wav in zip(finished, wavs):
                     emit(req, wav, req.get("_t0", time.perf_counter()))
+                for req in batcher.take_rejected():
+                    print(json.dumps(
+                        {"id": req.get("id"), "error": req["error"]}
+                    ), flush=True)
         finally:
             if stream is not sys.stdin:
                 stream.close()
@@ -222,17 +229,8 @@ def main(argv=None) -> None:
                     print(json.dumps({"id": req.get("id"), "error": str(e)}),
                           flush=True)
                 continue
-            latency_ms = (time.perf_counter() - t0) * 1000
             for req, wav in zip(good, wavs):
-                rid = str(req.get("id", served))
-                out = result_dir / f"{rid}.wav"
-                save_wav_22050_or_24k(out, wav, engine)
-                served += 1
-                print(json.dumps({
-                    "id": rid, "wav": str(out), "samples": int(wav.size),
-                    "audio_s": round(wav.size / out_sr, 3),
-                    "latency_ms": round(latency_ms, 1),
-                }), flush=True)
+                emit(req, wav, t0)
     finally:
         if stream is not sys.stdin:
             stream.close()

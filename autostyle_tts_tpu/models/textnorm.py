@@ -84,8 +84,6 @@ def year_to_words_en(n: int) -> str:
         hi, lo = divmod(n, 100)
         if lo == 0:
             return num_to_words_en(hi) + " hundred"
-        if hi % 10 == 0 and hi != 10 and not (2000 <= n <= 2009):
-            pass
         if 2000 <= n <= 2009:
             return num_to_words_en(n)
         if lo < 10:
@@ -134,17 +132,22 @@ def _plural(n: int, word: str) -> str:
     return word + ("ies" if word.endswith("y") else "s")
 
 
+# Word boundaries matter: without the left guard, ordinary words ending in an
+# abbreviation key get mangled ("first." -> "firsaint", "mar." -> "march").
+_RE_ABBREV = re.compile(
+    "(?<![A-Za-z])(?:"
+    + "|".join(re.escape(k) for k in sorted(_EN_ABBREV, key=len, reverse=True))
+    + r")(?!\w)",
+    re.IGNORECASE,
+)
+
+
 def normalize_en(text: str) -> str:
     # abbreviations first (case-insensitive, match with trailing dot)
     def abbrev_sub(m: "re.Match[str]") -> str:
         return _EN_ABBREV[m.group(0).lower()]
 
-    pat = re.compile(
-        "|".join(re.escape(k) for k in sorted(_EN_ABBREV, key=len,
-                                              reverse=True)),
-        re.IGNORECASE,
-    )
-    text = pat.sub(abbrev_sub, text)
+    text = _RE_ABBREV.sub(abbrev_sub, text)
 
     def currency_sub(m: "re.Match[str]") -> str:
         unit, cents_u = _CURRENCY_EN[m.group(1)]

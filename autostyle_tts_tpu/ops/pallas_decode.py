@@ -643,8 +643,11 @@ def _mega_kernel(
             y = y / max(temperature, 1e-6)
             if top_k and top_k > 0:
                 # top-k threshold: strip the k-1 largest, the max of the rest
-                # is the k-th value; ties at the threshold stay (same as the
-                # XLA sampler's `logits < thresh` masking)
+                # is the k-th value. Each iteration strips ALL values tied at
+                # the running max, so exact ties among the top-k admit a few
+                # extra candidates — a hair more permissive than lax.top_k
+                # (which itself keeps ties at the threshold); measure-zero
+                # for continuous logits, and ~3 us for k=25 on v5e
                 cur = y
                 for _ in range(top_k - 1):
                     cur = jnp.where(cur >= jnp.max(cur), NEG_INF, cur)

@@ -106,6 +106,7 @@ class ContinuousBatcher:
         self.steps = jnp.zeros((slots,), jnp.int32)
         self.slots: List[_Slot] = [_Slot() for _ in range(slots)]
         self.queue: List[dict] = []
+        self.rejected: List[dict] = []
         self.key = jax.random.PRNGKey(engine.cfg.seed + 91)
 
     # ------------------------------------------------------------------ intake
@@ -156,12 +157,24 @@ class ContinuousBatcher:
     def idle(self) -> bool:
         return not self.queue and all(s.req is None for s in self.slots)
 
+    def take_rejected(self) -> List[dict]:
+        """Requests that failed admission (each with ["error"] set) since the
+        last call — per-request isolation, the scheduler itself never dies."""
+        out, self.rejected = self.rejected, []
+        return out
+
     def step(self) -> List[dict]:
         """Admit queued requests into free slots, decode one chunk, harvest.
         Returns finished requests, each with ["tokens"] filled (np.int32)."""
         for b in range(self.n_slots):
-            if self.slots[b].req is None and self.queue:
-                self._admit_one(b, self.queue.pop(0))
+            while self.slots[b].req is None and self.queue:
+                req = self.queue.pop(0)
+                try:
+                    self._admit_one(b, req)
+                except Exception as e:     # oversized prefix, bad features...
+                    req = dict(req)
+                    req["error"] = str(e)
+                    self.rejected.append(req)
         if all(s.req is None for s in self.slots):
             return []
 

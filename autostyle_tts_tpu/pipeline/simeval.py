@@ -126,20 +126,22 @@ def score_meta_lst(
     for s0 in range(0, len(rows), batch):
         chunk = rows[s0 : s0 + batch]
         synth, refs = [], []
+        paths = []
         for r in chunk:
             p = Path(wav_dir) / (
                 r["name"] if r["name"].endswith(".wav") else r["name"] + ".wav"
             )
+            paths.append(p)
             synth.append(load_wav_fast(str(p), sr))
             tp = r["timbre_path"]
             if tp not in timbre_cache:
                 timbre_cache[tp] = load_wav_fast(tp, sr)
             refs.append(timbre_cache[tp])
         sims = scorer.similarity(synth, refs)
-        for r, s, p in zip(chunk, sims, synth):
+        for r, s, p in zip(chunk, sims, paths):
             out_rows.append(SimRow(
                 name=r["name"],
-                wav_path=str(Path(wav_dir) / (r["name"] + ".wav")),
+                wav_path=str(p),   # the path actually loaded (no '.wav.wav')
                 timbre_path=r["timbre_path"],
                 similarity=float(s),
             ))

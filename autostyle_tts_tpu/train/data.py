@@ -79,6 +79,7 @@ def make_acoustic_batches(
     shuffle: bool = True,
     stages: tuple = ("tokenizer", "token_lm", "cfm", "vocoder"),
     cache: Optional[Dict[int, tuple]] = None,
+    cache_max_items: int = 20000,
     vocoder_segment_frames: int = 50,
 ) -> Iterator[Dict[str, Dict]]:
     """Yields batch dicts keyed by the requested `stages`.
@@ -88,7 +89,10 @@ def make_acoustic_batches(
     not once per (item, epoch). Featurization fetches mel/token buffers to
     host (~MBs over a TPU tunnel), so re-running it every epoch dominated
     step time (~2 s/batch -> ~0.15 s/batch cached). The tokenizer stage
-    needs no features at all, so it never featurizes."""
+    needs no features at all, so it never featurizes. `cache_max_items`
+    bounds host RAM (FIFO eviction): ~20k items of a few-second corpus is
+    a handful of GB; corpora beyond that re-featurize the overflow each
+    epoch instead of OOMing the host."""
     import jax.numpy as jnp
 
     cfg = engine.cfg
@@ -126,6 +130,8 @@ def make_acoustic_batches(
                 else [None] * len(new_wavs)
             )
             for i, w, f in zip(missing, new_wavs, new_feats):
+                if len(cache) >= cache_max_items:
+                    cache.pop(next(iter(cache)))   # FIFO eviction
                 cache[i] = (w, f)
         wavs = [cache[int(i)][0] for i in idx]
         feats = [cache[int(i)][1] for i in idx]

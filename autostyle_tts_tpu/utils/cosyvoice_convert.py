@@ -199,28 +199,3 @@ def _flatten_paths(tree: Dict, prefix: str = "") -> List[str]:
     return out
 
 
-def tree_paths(tree: Any) -> List[str]:
-    """Flatten an arbitrary pytree (dicts/lists) into path strings the
-    report can compare against."""
-    import jax
-
-    paths, _ = jax.tree_util.tree_flatten_with_path(tree)
-    out = []
-    for p, _leaf in paths:
-        s = "".join(
-            getattr(k, "key", getattr(k, "idx", getattr(k, "name", "")))
-            if isinstance(getattr(k, "key", None), str)
-            else f"/{getattr(k, 'idx', getattr(k, 'key', ''))}"
-            for k in p
-        )
-        out.append(s.lstrip("/"))
-    return out
-
-
-# ------------------------------------------------- per-artifact rule tables
-
-# Rule tables are keyed by artifact file name. They are intentionally empty
-# for the real upstream names (see STATUS in the module docstring) except
-# where architecture-compatible mappings exist; extend after running
-# `convert_cosyvoice --inventory` against a real release directory.
-RULESETS: Dict[str, List[Rule]] = {}

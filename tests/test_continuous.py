@@ -83,6 +83,8 @@ def test_serve_continuous_cli(tmp_path, capsys):
     reqs = [
         {"id": "a", "text": "first continuous request", "style_text": "st",
          "style_wav": str(sw), "timbre_wav": str(tw)},
+        {"id": "too_long", "text": "x" * 4000, "style_text": "st",
+         "style_wav": str(sw), "timbre_wav": str(tw)},   # prefix > p_max
         {"id": "b", "text": "second one", "style_text": "st",
          "style_wav": str(sw), "timbre_wav": str(tw)},
     ]
@@ -92,11 +94,15 @@ def test_serve_continuous_cli(tmp_path, capsys):
     serve.main([
         "--tiny", "--requests", str(rq), "--result_dir", str(out_dir),
         "--continuous", "--slots", "2", "--chunk", "6", "--max_seconds", "2",
+        "--p_max", "128",
     ])
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
              if l.startswith("{")]
     by_id = {l.get("id"): l for l in lines if "wav" in l}
     assert set(by_id) == {"a", "b"}
+    # oversized request is rejected per-request, not fatally
+    errs = {l.get("id"): l for l in lines if "error" in l}
+    assert "too_long" in errs
     for rid in ("a", "b"):
         assert (out_dir / f"{rid}.wav").exists()
         assert by_id[rid]["samples"] > 0

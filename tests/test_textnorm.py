@@ -87,3 +87,18 @@ def test_num_to_words_zh(n, w):
 ])
 def test_normalize_zh_golden(src, dst):
     assert normalize_zh(src) == dst
+
+
+def test_en_abbrev_requires_word_boundary():
+    """Abbreviation keys must not fire inside ordinary words (round-2 review
+    finding: 'first.' -> 'firsaint', 'grammar.' -> 'grammarch')."""
+    from autostyle_tts_tpu.models.textnorm import normalize_en
+
+    assert normalize_en("He came first.") == "He came first."
+    assert normalize_en("Check the grammar.") == "Check the grammar."
+    assert normalize_en("It was just.") == "It was just."
+    assert normalize_en("Some items.") == "Some items."
+    # real abbreviations still expand, including sentence-initially
+    assert normalize_en("Dr. Smith on St. Mary Ave.") == \
+        "doctor Smith on saint Mary avenue"
+    assert normalize_en("mar. was cold") == "march was cold"
