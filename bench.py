@@ -113,7 +113,7 @@ def main() -> None:
     audio_s = audio_s_sum / len(texts)
 
     times = []
-    for i in range(14):
+    for i in range(24):     # enough reps that tunnel jitter doesn't move p50
         t0 = time.perf_counter()
         run_db(i)
         times.append(time.perf_counter() - t0)
