@@ -101,12 +101,13 @@ def vector_field(
 ) -> jnp.ndarray:
     B, Fr, M = x_t.shape
     D = cfg.dim
+    dt = jnp.dtype(getattr(cfg, "dtype", "float32"))
     h = jnp.concatenate([x_t, prompt_mel, prompt_mask[..., None]], axis=-1)
     h = h @ params["in_proj"]
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(Fr)[None, :], (B, Fr))
     h = h + token_cond + (spk @ params["spk_proj"])[:, None, :]
-    h = h + _frame_pos_embed(positions, D).astype(h.dtype)
+    h = (h + _frame_pos_embed(positions, D).astype(h.dtype)).astype(dt)
     temb = jax.nn.silu(_t_embed(t) @ params["t_proj1"]) @ params["t_proj2"]  # [B, D]
 
     n_heads = cfg.n_heads
@@ -114,20 +115,26 @@ def vector_field(
     attn_mask = (frame_mask[:, None, None, :] > 0) & (frame_mask[:, None, :, None] > 0)
 
     def body(h, lp):
-        mod = jax.nn.silu(temb) @ lp["mod"]                     # [B, 6D]
-        sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod, 6, axis=-1)
+        # trunk matmuls in cfg.dtype (bf16 in production — ~2x mel-decode
+        # throughput on v5e); LN stats, softmax and the adaLN modulation
+        # stay f32, residual stream carries cfg.dtype
+        w = lambda name: lp[name].astype(h.dtype)
+        mod = jax.nn.silu(temb) @ lp["mod"]                     # [B, 6D] f32
+        sh1, sc1, g1, sh2, sc2, g2 = [
+            m.astype(h.dtype) for m in jnp.split(mod, 6, axis=-1)
+        ]
         x = _ln(h) * (1 + sc1[:, None]) + sh1[:, None]
-        q = (x @ lp["wq"]).reshape(B, Fr, n_heads, hd)
-        k = (x @ lp["wk"]).reshape(B, Fr, n_heads, hd)
-        v = (x @ lp["wv"]).reshape(B, Fr, n_heads, hd)
+        q = (x @ w("wq")).reshape(B, Fr, n_heads, hd)
+        k = (x @ w("wk")).reshape(B, Fr, n_heads, hd)
+        v = (x @ w("wv")).reshape(B, Fr, n_heads, hd)
         att = sdpa(q, k, v, attn_mask).reshape(B, Fr, D)
-        h = h + g1[:, None] * (att @ lp["wo"])
+        h = h + g1[:, None] * (att @ w("wo"))
         x = _ln(h) * (1 + sc2[:, None]) + sh2[:, None]
-        h = h + g2[:, None] * (jax.nn.gelu(x @ lp["w_up"]) @ lp["w_down"])
+        h = h + g2[:, None] * (jax.nn.gelu(x @ w("w_up")) @ w("w_down"))
         return h, None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
-    h = _ln(h) * params["out_norm_scale"]
+    h = _ln(h).astype(jnp.float32) * params["out_norm_scale"]
     return h @ params["out_proj"]                               # [B, F, M]
 
 
