@@ -347,6 +347,41 @@ def generate_speech(
     return SpeechGen(tokens=toks, lengths=gen_len)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "sampler", "min_tokens",
+                     "kv_int8", "fused", "pad_multiple"),
+)
+def generate_speech_from_ids(
+    params: Params,
+    cfg: TokenLMConfig,
+    text: jnp.ndarray,
+    text_len: jnp.ndarray,
+    style_tokens: jnp.ndarray,
+    style_len: jnp.ndarray,
+    spk: jnp.ndarray,
+    key: jax.Array,
+    *,
+    max_new_tokens: int,
+    sampler: SamplerConfig = SamplerConfig(temperature=1.0, top_k=25),
+    min_tokens: int = 2,
+    kv_int8: bool = False,
+    fused: bool = False,
+    decode_params=None,
+    pad_multiple: int = 128,
+) -> SpeechGen:
+    """build_prefix + pad_prefix + generate_speech as ONE program: over a
+    tunneled device each separate program submission costs ~10 ms of
+    round-trip, so the serving path dispatches once per utterance."""
+    pre = build_prefix(params, cfg, text, text_len, style_tokens, style_len, spk)
+    pre = pad_prefix(pre, multiple=pad_multiple)
+    return generate_speech(
+        params, cfg, pre, key, max_new_tokens=max_new_tokens, sampler=sampler,
+        min_tokens=min_tokens, kv_int8=kv_int8, fused=fused,
+        decode_params=decode_params,
+    )
+
+
 def _generate_fused(
     params: Params,
     decode_params,

@@ -359,17 +359,19 @@ class Engine:
             sty_lens[i] = n
         max_new = _bucket(int(max_seconds * tl.token_rate), GEN_BUCKETS)
         with self.watch.span("lm_generate"):
-            # ONE jitted program builds + pads the prefix (flash prefill
-            # block alignment); eager assembly cost ~45 ms over the tunnel
-            pre = token_lm.build_prefix_padded(
+            self.key, sub = jax.random.split(self.key)
+            # raw prefix width before the 128-pad, to pick the fused gate
+            p_raw = 1 + text_ids.shape[1] + 1 + sty_w
+            p_pad = -(-p_raw // 128) * 128
+            dp = self._fused_decode_params((B, p_pad, tl.dim), max_new)
+            # prefix assembly + padding + prefill + decode: ONE program
+            # submission per utterance (each separate dispatch pays ~10 ms
+            # through a tunneled device)
+            gen = token_lm.generate_speech_from_ids(
                 self.params.token_lm, tl,
                 self._dev(text_ids), self._dev(text_lens),
-                self._dev(sty), self._dev(sty_lens), self._dev(spk),
-            )
-            self.key, sub = jax.random.split(self.key)
-            dp = self._fused_decode_params(pre.embeds.shape, max_new)
-            gen = token_lm.generate_speech(
-                self.params.token_lm, tl, pre, sub, max_new_tokens=max_new,
+                self._dev(sty), self._dev(sty_lens), self._dev(spk), sub,
+                max_new_tokens=max_new,
                 kv_int8=getattr(self.cfg, "quantize_lm_kv_int8", False),
                 fused=dp is not None, decode_params=dp,
             )
