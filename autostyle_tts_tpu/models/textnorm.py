@@ -135,7 +135,7 @@ def _plural(n: int, word: str) -> str:
 # Word boundaries matter: without the left guard, ordinary words ending in an
 # abbreviation key get mangled ("first." -> "firsaint", "mar." -> "march").
 _RE_ABBREV = re.compile(
-    "(?<![A-Za-z])(?:"
+    "(?<![A-Za-z0-9])(?:"
     + "|".join(re.escape(k) for k in sorted(_EN_ABBREV, key=len, reverse=True))
     + r")(?!\w)",
     re.IGNORECASE,

@@ -90,6 +90,13 @@ def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512):
     )
     JMH = 4 + JM   # grid steps per layer; head tiles + sample must fit
     assert JH < JMH, (JH, JMH)
+    # the kernel's logit scratch is 8 sublane rows (logit_s[pl.ds(j,1)] writes
+    # + the rows>=JH mask assume it); a speech vocab > 8*1536 would index past
+    # it — refuse loudly here rather than corrupt VMEM in-kernel
+    assert JH <= 8, (
+        f"speech_vocab_size={V} needs {JH} head tiles but the megakernel's "
+        "logit scratch holds 8 rows; raise the scratch in mega_decode_step"
+    )
     # speech-embedding table, bf16, row count padded to a multiple of 8 for
     # the kernel's aligned row-window DMA
     V8 = -(-V // 8) * 8

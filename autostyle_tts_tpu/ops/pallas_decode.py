@@ -363,7 +363,10 @@ def fused_ok(params, cfg, batch: int) -> bool:
         and isinstance(lp["wo"], QTensor)
         and isinstance(lp["w_gate_up"], QTensor)
         and isinstance(lp["w_down"], QTensor)
-        and cfg.ffn_dim % min(1024, cfg.ffn_dim) == 0
+        # the megakernel tiles FFN at tile_f=512 (token_lm.mega_decode_params
+        # default); a non-divisible ffn_dim must take the scanned path instead
+        # of crashing in mega_decode_params' assert
+        and cfg.ffn_dim % min(512, cfg.ffn_dim) == 0
     )
 
 

@@ -89,20 +89,37 @@ _TRANSFORMS: Dict[str, Transform] = {
     "T": lambda x: x.T,                       # torch Linear [out,in] -> [in,out]
     # torch Conv1d [out, in, K] -> our channels-last conv1d [K, in, out]
     "conv1d": lambda x: np.transpose(x, (2, 1, 0)),
+    # torch ConvTranspose1d [in, out, K] -> our taps layout [K, in, out]
+    # (ops/conv.conv_transpose1d flips taps itself; verified against
+    # torch.nn.ConvTranspose1d in tests/test_compat_primitives.py)
+    "convT1d": lambda x: np.transpose(x, (2, 0, 1)),
+    # torch depthwise Conv1d [C, 1, K] -> [K, 1, C] (feature_group_count=C)
+    "dwconv1d": lambda x: np.transpose(x, (2, 1, 0)),
 }
+
+
+def _weight_norm(v: np.ndarray, g: np.ndarray) -> np.ndarray:
+    """torch.nn.utils.weight_norm reconstruction, dim=0 (the HiFi-GAN/HiFT
+    default): w = g * v / ||v||_2 with the norm over all dims except 0."""
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=axes, keepdims=True))
+    return (g * v / norm).astype(v.dtype)
 
 
 @dataclass
 class Rule:
     """src regex -> dst path template. Layer-indexed sources (one capture
     group = layer number) stack into a leading [L] dim at the dst; `fuse`
-    names concatenate multiple sources along `fuse_axis` before placing."""
+    names combine multiple sources before placing: fuse_op="concat" joins
+    along `fuse_axis` (after per-part transform), fuse_op="weight_norm"
+    reconstructs w from (v, g) torch weight-norm pairs (then transforms)."""
 
     src: str
     dst: str
     transform: str = "none"
     fuse: Tuple[str, ...] = ()
     fuse_axis: int = -1
+    fuse_op: str = "concat"
 
 
 @dataclass
@@ -143,20 +160,26 @@ def apply_rules(
     n_layers: Optional[int] = None,
     expected_dst: Optional[List[str]] = None,
 ) -> Tuple[Dict, ConvertReport]:
-    """Run the rule table over a tensor dict -> (param tree, report)."""
+    """Run the rule table over a tensor dict -> (param tree, report).
+
+    Layer-stacked rules (one capture group = layer index) infer their own
+    layer count from the matching keys (max index + 1), so one table serves
+    encoders of different depths; `n_layers` overrides when given."""
     tree: Dict = {}
     report = ConvertReport()
     used = set()
     for rule in rules:
         pat = re.compile(rule.src)
         tf = _TRANSFORMS[rule.transform]
-        for key in list(src):
-            m = pat.fullmatch(key)
-            if not m:
-                continue
+        matches = [(k, pat.fullmatch(k)) for k in src]
+        matches = [(k, m) for k, m in matches if m]
+        rule_layers = n_layers
+        if rule_layers is None and matches and matches[0][1].groups():
+            rule_layers = 1 + max(int(m.group(1)) for _, m in matches)
+        for key, m in matches:
             layer = int(m.group(1)) if m.groups() else None
             if rule.fuse:
-                # gather sibling tensors (e.g. q,k,v) and concatenate
+                # gather sibling tensors (e.g. q,k,v or weight_v/weight_g)
                 parts = []
                 names = []
                 ok = True
@@ -166,11 +189,17 @@ def apply_rules(
                     if sk not in src:
                         ok = False
                         break
-                    parts.append(tf(src[sk]))
+                    parts.append(src[sk])
                     names.append(sk)
                 if not ok or names[0] in used:
                     continue
-                value = np.concatenate(parts, axis=rule.fuse_axis)
+                if rule.fuse_op == "weight_norm":
+                    assert len(parts) == 2, "weight_norm fuse takes (v, g)"
+                    value = tf(_weight_norm(parts[0], parts[1]))
+                else:
+                    value = np.concatenate(
+                        [tf(p) for p in parts], axis=rule.fuse_axis
+                    )
                 used.update(names)
                 report.mapped.extend(n for n in names)
             else:
@@ -180,7 +209,7 @@ def apply_rules(
                 used.add(key)
                 report.mapped.append(key)
             dst = pat.sub(rule.dst, key) if layer is None else rule.dst
-            _set_path(tree, dst, value, layer, n_layers)
+            _set_path(tree, dst, value, layer, rule_layers)
     report.unmapped_src = sorted(set(src) - used)
     if expected_dst is not None:
         have = set(_flatten_paths(tree))
@@ -197,5 +226,18 @@ def _flatten_paths(tree: Dict, prefix: str = "") -> List[str]:
         else:
             out.append(p)
     return out
+
+
+# ------------------------------------------------------------------ rule tables
+#
+# Best-effort per-artifact tables keyed to the documented upstream
+# topologies (wenet-conformer TransformerLM for llm.pt, Matcha-style
+# ConditionalDecoder flow for flow.pt, HiFT/NSF for hift.pt). UNVALIDATED
+# against real release files (zero-egress build env — docs/WEIGHTS.md);
+# exercised end-to-end on synthetic release dirs whose key names/shapes
+# mirror upstream (tests/test_cosy_compat.py). Populated next to the compat
+# modules that give the converted tensors a native home (models/compat/).
+
+RULESETS: Dict[str, List[Rule]] = {}
 
 

@@ -129,3 +129,64 @@ def test_convert_cli_inventory(tmp_path, capsys):
 
     inv = json.loads(out.read_text())
     assert inv["speech_tokenizer_v1.onnx"]["enc.w"] == [2, 2]
+
+
+def test_weight_norm_fuse_matches_torch():
+    """fuse_op="weight_norm" must reconstruct exactly what torch's
+    weight_norm parameterization computes (dim=0, the HiFT default)."""
+    import torch
+
+    conv = torch.nn.Conv1d(3, 5, 7)
+    conv = torch.nn.utils.weight_norm(conv)
+    v = conv.weight_v.detach().numpy()
+    g = conv.weight_g.detach().numpy()
+    with torch.no_grad():
+        expected = conv.weight.detach().numpy()  # materialized w
+    src = {"conv.weight_v": v, "conv.weight_g": g}
+    rules = [cc.Rule(
+        src=r"conv\.weight_v", dst="conv/w", transform="conv1d",
+        fuse=("conv.weight_v", "conv.weight_g"), fuse_op="weight_norm",
+    )]
+    tree, report = cc.apply_rules(src, rules)
+    np.testing.assert_allclose(
+        tree["conv"]["w"], np.transpose(expected, (2, 1, 0)), atol=1e-6
+    )
+    assert report.unmapped_src == []
+
+
+def test_layer_count_inferred_per_rule():
+    """Stacked rules infer depth from max layer index — two encoders of
+    different depths convert in one table without an n_layers arg."""
+    src = {f"a.{i}.w": np.full((2,), i, np.float32) for i in range(3)}
+    src.update({f"b.{i}.w": np.full((2,), 10 + i, np.float32) for i in range(5)})
+    rules = [
+        cc.Rule(src=r"a\.(\d+)\.w", dst="a/w"),
+        cc.Rule(src=r"b\.(\d+)\.w", dst="b/w"),
+    ]
+    tree, report = cc.apply_rules(src, rules)
+    assert tree["a"]["w"].shape == (3, 2)
+    assert tree["b"]["w"].shape == (5, 2)
+    assert tree["b"]["w"][4, 0] == 14
+    assert report.unmapped_src == []
+
+
+def test_convert_cli_rules_path_runs(tmp_path):
+    """Regression: the non---inventory CLI path crashed on a missing
+    RULESETS attribute (round-2 ADVICE #1). It must run a user rule table
+    end to end."""
+    import json
+
+    import torch
+
+    torch.save({"enc.weight": torch.zeros(4, 2)}, tmp_path / "llm.pt")
+    rules = {"llm.pt": [{"src": r"enc\.weight", "dst": "enc/w",
+                         "transform": "T"}]}
+    rp = tmp_path / "rules.json"
+    rp.write_text(json.dumps(rules))
+    from autostyle_tts_tpu.cli.convert_cosyvoice import main
+
+    report = tmp_path / "report.json"
+    main(["--model_dir", str(tmp_path), "--rules", str(rp),
+          "--report_json", str(report), "--strict"])
+    rep = json.loads(report.read_text())
+    assert rep["llm.pt"]["mapped"] == ["enc.weight"]

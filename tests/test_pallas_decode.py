@@ -187,3 +187,15 @@ def test_fused_ok_gates():
     qparams = quantize_tree(params)
     assert fused_ok(qparams, ccfg, batch=1)
     assert not fused_ok(qparams, ccfg, batch=2)         # batched -> XLA path
+
+
+def test_fused_ok_rejects_untileable_ffn():
+    """ffn_dim=768 passes 768 %% min(1024, 768) == 0 trivially but the
+    megakernel tiles at 512 — the gate must route it to the scanned path
+    instead of crashing in mega_decode_params (round-2 ADVICE #3)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config().token_lm, ffn_dim=768)
+    ccfg = token_lm.core_config(cfg)
+    qparams = quantize_tree(token_lm.init_params(jax.random.PRNGKey(0), cfg))
+    assert not fused_ok(qparams, ccfg, batch=1)

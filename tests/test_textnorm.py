@@ -102,3 +102,13 @@ def test_en_abbrev_requires_word_boundary():
     assert normalize_en("Dr. Smith on St. Mary Ave.") == \
         "doctor Smith on saint Mary avenue"
     assert normalize_en("mar. was cold") == "march was cold"
+
+
+def test_sentence_final_ordinals_not_mangled():
+    # round-2 ADVICE #2: the abbreviation guard must exclude digits too,
+    # or '21st.' becomes '21saint' before the ordinal rule ever runs
+    assert normalize_en("He finished 21st.") == "He finished twenty-first."
+    assert normalize_en("3rd.") == "third."
+    # letter-boundary behaviour unchanged
+    assert normalize_en("Dr. Smith on St. Mary Ave.") == \
+        "doctor Smith on saint Mary avenue"
