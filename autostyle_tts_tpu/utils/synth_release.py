@@ -1,0 +1,320 @@
+"""Synthetic CosyVoice-300M release directories for conversion testing.
+
+Builds llm.pt / flow.pt / hift.pt whose KEY NAMES AND SHAPE RELATIONS mirror
+the documented upstream topologies (wenet TransformerLM, Matcha-style
+ConditionalDecoder flow, HiFT/NSF vocoder) at configurable tiny geometry —
+the zero-egress stand-in for the real release files
+(reference load site tts_with_rag.py:107; docs/WEIGHTS.md records what real
+validation still needs). tests/test_cosy_compat.py converts these dirs with
+utils/cosyvoice_convert.RULESETS --strict and runs the converted engine
+end-to-end; when the real files arrive, the same rules apply unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict
+
+
+@dataclass(frozen=True)
+class SynthGeometry:
+    text_vocab: int = 40
+    text_in: int = 12
+    text_dim: int = 16
+    n_text_layers: int = 2
+    llm_dim: int = 16
+    n_llm_layers: int = 2
+    n_heads: int = 2
+    ffn: int = 24
+    speech_vocab: int = 20
+    spk_dim: int = 12
+    # flow
+    flow_emb: int = 12
+    flow_dim: int = 16
+    n_flow_layers: int = 2
+    n_mels: int = 8
+    est_channels: tuple = (16, 16)
+    n_tf: int = 1
+    n_mid: int = 1
+    # hift
+    hift_channels: int = 16
+    up_rates: tuple = (2, 2)
+    resblock_kernels: tuple = (3, 5)
+    n_res_convs: int = 2            # convs per resblock (dilations 1,3)
+    istft_n_fft: int = 8
+    nb_harmonics: int = 3
+
+
+def _seeded(seed: int):
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+
+    def t(*shape, scale=0.3):
+        return torch.randn(*shape, generator=g) * scale
+
+    return t
+
+
+def _encoder_sd(prefix: str, t, in_dim: int, dim: int, n_layers: int,
+                heads: int, ffn: int, macaron: bool, cnn: bool,
+                in_norm: bool, transformer_norms: bool) -> Dict:
+    import torch
+
+    hd = dim // heads
+    sd = {
+        f"{prefix}.embed.out.0.weight": t(dim, in_dim),
+        f"{prefix}.embed.out.0.bias": t(dim),
+        f"{prefix}.after_norm.weight": torch.ones(dim),
+        f"{prefix}.after_norm.bias": torch.zeros(dim),
+    }
+    if in_norm:
+        sd[f"{prefix}.embed.out.1.weight"] = torch.ones(dim)
+        sd[f"{prefix}.embed.out.1.bias"] = torch.zeros(dim)
+    for i in range(n_layers):
+        e = f"{prefix}.encoders.{i}"
+        sd.update({
+            f"{e}.self_attn.linear_q.weight": t(dim, dim),
+            f"{e}.self_attn.linear_q.bias": t(dim),
+            f"{e}.self_attn.linear_k.weight": t(dim, dim),
+            f"{e}.self_attn.linear_k.bias": t(dim),
+            f"{e}.self_attn.linear_v.weight": t(dim, dim),
+            f"{e}.self_attn.linear_v.bias": t(dim),
+            f"{e}.self_attn.linear_out.weight": t(dim, dim),
+            f"{e}.self_attn.linear_out.bias": t(dim),
+            f"{e}.self_attn.linear_pos.weight": t(dim, dim),
+            f"{e}.self_attn.pos_bias_u": t(heads, hd),
+            f"{e}.self_attn.pos_bias_v": t(heads, hd),
+            f"{e}.feed_forward.w_1.weight": t(ffn, dim),
+            f"{e}.feed_forward.w_1.bias": t(ffn),
+            f"{e}.feed_forward.w_2.weight": t(dim, ffn),
+            f"{e}.feed_forward.w_2.bias": t(dim),
+        })
+        norm_names = (["norm1", "norm2"] if transformer_norms
+                      else ["norm_mha", "norm_ff"])
+        if macaron:
+            sd.update({
+                f"{e}.feed_forward_macaron.w_1.weight": t(ffn, dim),
+                f"{e}.feed_forward_macaron.w_1.bias": t(ffn),
+                f"{e}.feed_forward_macaron.w_2.weight": t(dim, ffn),
+                f"{e}.feed_forward_macaron.w_2.bias": t(dim),
+            })
+            norm_names.append("norm_ff_macaron")
+        if cnn:
+            sd.update({
+                f"{e}.conv_module.pointwise_conv1.weight": t(2 * dim, dim, 1),
+                f"{e}.conv_module.pointwise_conv1.bias": t(2 * dim),
+                f"{e}.conv_module.depthwise_conv.weight": t(dim, 1, 15),
+                f"{e}.conv_module.depthwise_conv.bias": t(dim),
+                f"{e}.conv_module.norm.weight": torch.ones(dim),
+                f"{e}.conv_module.norm.bias": torch.zeros(dim),
+                f"{e}.conv_module.pointwise_conv2.weight": t(dim, dim, 1),
+                f"{e}.conv_module.pointwise_conv2.bias": t(dim),
+            })
+            norm_names += ["norm_conv", "norm_final"]
+        for n in norm_names:
+            sd[f"{e}.{n}.weight"] = torch.ones(dim)
+            sd[f"{e}.{n}.bias"] = torch.zeros(dim)
+    return sd
+
+
+def build_llm_pt(g: SynthGeometry, seed: int = 0) -> Dict:
+    t = _seeded(seed)
+    sd = {
+        "text_embedding.weight": t(g.text_vocab, g.text_in),
+        "text_encoder_affine_layer.weight": t(g.llm_dim, g.text_dim),
+        "text_encoder_affine_layer.bias": t(g.llm_dim),
+        "llm_embedding.weight": t(2, g.llm_dim),
+        "speech_embedding.weight": t(g.speech_vocab + 1, g.llm_dim),
+        "llm_decoder.weight": t(g.speech_vocab + 1, g.llm_dim),
+        "llm_decoder.bias": t(g.speech_vocab + 1),
+        "spk_embed_affine_layer.weight": t(g.llm_dim, g.spk_dim),
+        "spk_embed_affine_layer.bias": t(g.llm_dim),
+    }
+    # conformer text encoder exercises macaron + cnn paths; plain
+    # transformer LM trunk (norm1/norm2 spelling, no input LayerNorm)
+    sd.update(_encoder_sd("text_encoder", t, g.text_in, g.text_dim,
+                          g.n_text_layers, g.n_heads, g.ffn,
+                          macaron=True, cnn=True, in_norm=True,
+                          transformer_norms=False))
+    sd.update(_encoder_sd("llm", t, g.llm_dim, g.llm_dim, g.n_llm_layers,
+                          g.n_heads, g.ffn, macaron=False, cnn=False,
+                          in_norm=False, transformer_norms=True))
+    return sd
+
+
+def build_flow_pt(g: SynthGeometry, seed: int = 1) -> Dict:
+    import torch
+
+    t = _seeded(seed)
+    M = g.n_mels
+    ch = g.est_channels
+    in_ch = 4 * M                       # x | mu | spk(->M) | cond
+    tdim = 4 * ch[0]
+    sd = {
+        "input_embedding.weight": t(g.speech_vocab + 1, g.flow_emb),
+        "spk_embed_affine_layer.weight": t(M, g.spk_dim),
+        "spk_embed_affine_layer.bias": t(M),
+        "encoder_proj.weight": t(M, g.flow_dim),
+        "encoder_proj.bias": t(M),
+        # InterpolateRegulator: [conv, GroupNorm(1), Mish] + final 1x1 conv
+        "length_regulator.model.0.weight": t(M, M, 3),
+        "length_regulator.model.0.bias": t(M),
+        "length_regulator.model.1.weight": torch.ones(M),
+        "length_regulator.model.1.bias": torch.zeros(M),
+        "length_regulator.model.3.weight": t(M, M, 1),
+        "length_regulator.model.3.bias": t(M),
+    }
+    sd.update(_encoder_sd("encoder", t, g.flow_emb, g.flow_dim,
+                          g.n_flow_layers, g.n_heads, g.ffn,
+                          macaron=False, cnn=False, in_norm=True,
+                          transformer_norms=False))
+    est = "decoder.estimator"
+    sd.update({
+        f"{est}.time_mlp.linear_1.weight": t(tdim, in_ch),
+        f"{est}.time_mlp.linear_1.bias": t(tdim),
+        f"{est}.time_mlp.linear_2.weight": t(tdim, tdim),
+        f"{est}.time_mlp.linear_2.bias": t(tdim),
+        f"{est}.final_block.block.0.weight": t(ch[-1], ch[-1], 3),
+        f"{est}.final_block.block.0.bias": t(ch[-1]),
+        f"{est}.final_block.block.1.weight": torch.ones(ch[-1]),
+        f"{est}.final_block.block.1.bias": torch.zeros(ch[-1]),
+        f"{est}.final_proj.weight": t(M, ch[-1], 1),
+        f"{est}.final_proj.bias": t(M),
+    })
+
+    def resnet(base: str, dim_in: int, dim_out: int):
+        sd.update({
+            f"{base}.mlp.1.weight": t(dim_out, tdim),
+            f"{base}.mlp.1.bias": t(dim_out),
+            f"{base}.block1.block.0.weight": t(dim_out, dim_in, 3),
+            f"{base}.block1.block.0.bias": t(dim_out),
+            f"{base}.block1.block.1.weight": torch.ones(dim_out),
+            f"{base}.block1.block.1.bias": torch.zeros(dim_out),
+            f"{base}.block2.block.0.weight": t(dim_out, dim_out, 3),
+            f"{base}.block2.block.0.bias": t(dim_out),
+            f"{base}.block2.block.1.weight": torch.ones(dim_out),
+            f"{base}.block2.block.1.bias": torch.zeros(dim_out),
+            f"{base}.res_conv.weight": t(dim_out, dim_in, 1),
+            f"{base}.res_conv.bias": t(dim_out),
+        })
+
+    def tfblocks(base: str, dim: int):
+        for j in range(g.n_tf):
+            b = f"{base}.{j}"
+            inner = dim
+            sd.update({
+                f"{b}.attn1.to_q.weight": t(inner, dim),
+                f"{b}.attn1.to_k.weight": t(inner, dim),
+                f"{b}.attn1.to_v.weight": t(inner, dim),
+                f"{b}.attn1.to_out.0.weight": t(dim, inner),
+                f"{b}.attn1.to_out.0.bias": t(dim),
+                f"{b}.norm1.weight": torch.ones(dim),
+                f"{b}.norm1.bias": torch.zeros(dim),
+                f"{b}.norm3.weight": torch.ones(dim),
+                f"{b}.norm3.bias": torch.zeros(dim),
+                f"{b}.ff.net.0.proj.weight": t(8 * dim, dim),
+                f"{b}.ff.net.0.proj.bias": t(8 * dim),
+                f"{b}.ff.net.2.weight": t(dim, 4 * dim),
+                f"{b}.ff.net.2.bias": t(dim),
+            })
+
+    prev = in_ch
+    for i, c in enumerate(ch):
+        base = f"{est}.down_blocks.{i}"
+        resnet(f"{base}.0", prev, c)
+        tfblocks(f"{base}.1", c)
+        last = i == len(ch) - 1
+        key = f"{base}.2.weight" if last else f"{base}.2.conv.weight"
+        sd[key] = t(c, c, 3)
+        sd[key.replace("weight", "bias")] = t(c)
+        prev = c
+    for i in range(g.n_mid):
+        base = f"{est}.mid_blocks.{i}"
+        resnet(f"{base}.0", ch[-1], ch[-1])
+        tfblocks(f"{base}.1", ch[-1])
+    up_ch = tuple(reversed(ch)) + (ch[0],)
+    for i in range(len(up_ch) - 1):
+        base = f"{est}.up_blocks.{i}"
+        resnet(f"{base}.0", 2 * up_ch[i], up_ch[i + 1])
+        tfblocks(f"{base}.1", up_ch[i + 1])
+        last = i == len(up_ch) - 2
+        if last:
+            sd[f"{base}.2.weight"] = t(up_ch[i + 1], up_ch[i + 1], 3)
+            sd[f"{base}.2.bias"] = t(up_ch[i + 1])
+        else:
+            # ConvTranspose1d [in, out, K]
+            sd[f"{base}.2.conv.weight"] = t(up_ch[i + 1], up_ch[i + 1], 4)
+            sd[f"{base}.2.conv.bias"] = t(up_ch[i + 1])
+    return sd
+
+
+def build_hift_pt(g: SynthGeometry, seed: int = 2) -> Dict:
+    import torch
+
+    t = _seeded(seed)
+    M = g.n_mels
+    C = g.hift_channels
+    n_bins2 = g.istft_n_fft + 2
+    sd = {}
+
+    def wn_conv(name: str, out_c: int, in_c: int, k: int, dim0: int = None):
+        v = t(out_c, in_c, k)
+        gshape = (out_c, 1, 1)
+        sd[f"{name}.weight_v"] = v
+        sd[f"{name}.weight_g"] = torch.rand(*gshape) + 0.5
+        sd[f"{name}.bias"] = t(out_c)
+
+    def wn_convT(name: str, in_c: int, out_c: int, k: int):
+        sd[f"{name}.weight_v"] = t(in_c, out_c, k)
+        sd[f"{name}.weight_g"] = torch.rand(in_c, 1, 1) + 0.5
+        sd[f"{name}.bias"] = t(out_c)
+
+    # f0 predictor: 3 weight-normed convs (Sequential indices 0, 2, 4) + ELU
+    cond = C
+    wn_conv("f0_predictor.condnet.0", cond, M, 3)
+    wn_conv("f0_predictor.condnet.2", cond, cond, 3)
+    wn_conv("f0_predictor.condnet.4", cond, cond, 3)
+    sd["f0_predictor.classifier.weight"] = t(1, cond)
+    sd["f0_predictor.classifier.bias"] = t(1)
+    sd["m_source.l_linear.weight"] = t(1, g.nb_harmonics + 1)
+    sd["m_source.l_linear.bias"] = t(1)
+    wn_conv("conv_pre", C, M, 7)
+    ch = C
+    n_up = len(g.up_rates)
+    for i, r in enumerate(g.up_rates):
+        out_c = ch // 2
+        wn_convT(f"ups.{i}", ch, out_c, 2 * r)
+        stride = 1
+        for rr in g.up_rates[i + 1:]:
+            stride *= rr
+        k = 2 * stride if stride > 1 else 1
+        sd[f"source_downs.{i}.weight"] = t(out_c, n_bins2, k)
+        sd[f"source_downs.{i}.bias"] = t(out_c)
+        for conv in ("convs1", "convs2"):
+            for j in range(g.n_res_convs):
+                wn_conv(f"source_resblocks.{i}.{conv}.{j}", out_c, out_c, 7)
+        for jk, kern in enumerate(g.resblock_kernels):
+            for conv in ("convs1", "convs2"):
+                for j in range(g.n_res_convs):
+                    wn_conv(
+                        f"resblocks.{i * len(g.resblock_kernels) + jk}"
+                        f".{conv}.{j}", out_c, out_c, kern,
+                    )
+        ch = out_c
+    wn_conv("conv_post", n_bins2, ch, 7)
+    return sd
+
+
+def build_release_dir(path, g: SynthGeometry = SynthGeometry(),
+                      seed: int = 0) -> Path:
+    """Write llm.pt / flow.pt / hift.pt into `path` (upstream key space)."""
+    import torch
+
+    d = Path(path)
+    d.mkdir(parents=True, exist_ok=True)
+    torch.save(build_llm_pt(g, seed), d / "llm.pt")
+    torch.save(build_flow_pt(g, seed + 1), d / "flow.pt")
+    torch.save(build_hift_pt(g, seed + 2), d / "hift.pt")
+    return d
