@@ -27,7 +27,8 @@ def test_stream_vc_deterministic_chunk_count(engine):
     ceil(n_tokens / chunk_tokens), no LM sampling involved."""
     cfg = engine.cfg
     hop_per_token = cfg.cfm.upsample * cfg.audio.hop_length
-    chunk_tokens = cfg.token_lm.token_rate
+    # the engine's default streaming chunk (~0.64 s of tokens)
+    chunk_tokens = max(8, (2 * cfg.token_lm.token_rate) // 3)
     src = _wav(seconds=4.0, seed=3)   # long source -> several chunks
     prm = _wav(seconds=1.0, seed=4)
     chunks = [
@@ -81,3 +82,31 @@ def test_stream_short_prompt_mel_clamped(engine):
     tiny_prompt = _wav(seconds=0.05, seed=7)  # < one token hop
     chunks = list(engine.inference_vc(src, tiny_prompt, stream=True))
     assert all(np.isfinite(c["tts_speech"]).all() for c in chunks)
+
+
+def test_lm_bucket_prefix_determinism(engine):
+    """The round-3 streaming path runs the LM twice (small bucket for first
+    audio, full bucket behind it) with the SAME key and relies on the
+    sampler splitting its key once per step: the small run's tokens must be
+    a prefix of the full run's."""
+    import jax
+    import jax.numpy as jnp
+
+    from autostyle_tts_tpu.models import token_lm
+
+    cfg = engine.cfg.token_lm
+    params = engine.params.token_lm
+    text = jnp.asarray([[5, 9, 2, 7]], jnp.int32)
+    tl = jnp.asarray([4])
+    sty = jnp.asarray([[1, 2, 3]], jnp.int32)
+    sl = jnp.asarray([3])
+    spk = jnp.ones((1, cfg.spk_dim), jnp.float32) * 0.1
+    key = jax.random.PRNGKey(99)
+    outs = {}
+    for mn in (64, 128):
+        g = token_lm.generate_speech_from_ids(
+            params, cfg, text, tl, sty, sl, spk, key, max_new_tokens=mn
+        )
+        outs[mn] = (np.asarray(g.tokens)[0], int(g.lengths[0]))
+    n = min(64, outs[64][1] + 1, outs[128][1] + 1)
+    np.testing.assert_array_equal(outs[64][0][:n], outs[128][0][:n])
