@@ -17,7 +17,7 @@ import json
 from pathlib import Path
 from typing import Iterator, List
 
-from ..models.bpe import train_bpe
+from ..models.bpe import BPETokenizer, train_bpe, train_bpe_zh
 
 
 def iter_texts(paths: List[str], text_keys=("zh_text", "text", "sentence")) -> Iterator[str]:
@@ -62,19 +62,36 @@ def main(argv=None) -> None:
     p.add_argument("--input", type=str, nargs="+", required=True)
     p.add_argument("--output", type=str, required=True)
     p.add_argument("--merges", type=int, default=4096)
+    p.add_argument("--zh_merges", type=int, default=0,
+                   help="also learn merges over the CJK/kana plane ids "
+                        "(word-level ZH compression on top of the 1-char="
+                        "1-token plane)")
     args = p.parse_args(argv)
 
     texts = list(iter_texts(args.input))
     if not texts:
         raise SystemExit("no training text found in inputs")
     tok = train_bpe(texts, n_merges=args.merges)
+    if args.zh_merges:
+        zh = train_bpe_zh(texts, n_merges=args.zh_merges,
+                          n_base_merges=len(tok.merges))
+        tok = BPETokenizer(tok.merges, zh)
     tok.save(args.output)
-    # quick stats: compression vs bytes on the training text
+    # quick stats: compression vs bytes on the training text; for ZH also
+    # chars/token (the plane alone gives exactly 1.0)
     total_bytes = sum(len(t.encode("utf-8")) for t in texts)
     total_tokens = sum(len(tok.encode_segment(t)) for t in texts)
+    zh_chars = sum(1 for t in texts for c in t if 0x3040 <= ord(c) <= 0x9FFF)
+    zh_tokens = sum(
+        len([i for i in tok.encode_segment(t) if i >= 8464 or (
+            272 + len(tok.merges) <= i < 8464)])
+        for t in texts
+    )
     print(json.dumps({
         "texts": len(texts), "merges": len(tok.merges),
+        "zh_merges": len(tok.zh_merges),
         "bytes_per_token": round(total_bytes / max(total_tokens, 1), 3),
+        "zh_chars_per_token": round(zh_chars / max(zh_tokens, 1), 3),
         "output": args.output,
     }))
 
