@@ -210,3 +210,43 @@ def test_token_round_trip(engine):
         assert n > 10, n
         agrees.append(agree)
     assert float(np.mean(agrees)) > 0.85, agrees
+
+
+GOLDEN = Path(__file__).parent / "fixtures" / "golden_quality.json"
+
+
+@pytest.mark.skipif(not GOLDEN.exists(), reason="golden stats not built")
+def test_golden_wav_regression(engine):
+    """Golden-wav regression (round-2 VERDICT #3): deterministic VC
+    resynthesis of fixture rows must reproduce the recorded per-mel-bin
+    statistics. Stats (not raw samples) so accelerator/BLAS numerics don't
+    flake; a quality regression (collapse, spectrum shift, level change,
+    length change) still trips it."""
+    import jax.numpy as jnp
+
+    from autostyle_tts_tpu.ops.stft import log_mel_spectrogram
+    from autostyle_tts_tpu.pipeline.engine import Engine
+
+    golden = json.loads(GOLDEN.read_text())
+    a = engine.cfg.audio
+    for row in _rows()[:3]:
+        g = golden.get(row["wav"])
+        if g is None:
+            continue
+        # fresh engine => the exact key sequence the golden was made with
+        eng = Engine(engine.cfg, params=engine.params, seed=0)
+        src = _load(engine, row)
+        wav = np.asarray(
+            next(iter(eng.inference_vc(src, src)))["tts_speech"]
+        ).ravel()
+        assert wav.size == g["n_samples"], (wav.size, g["n_samples"])
+        rms = float(np.sqrt((wav ** 2).mean()))
+        assert abs(rms - g["rms"]) < 0.3 * g["rms"] + 1e-3, (rms, g["rms"])
+        mel = np.asarray(log_mel_spectrogram(
+            jnp.asarray(wav[None]), a.sample_rate, a.n_fft, a.hop_length,
+            a.win_length, n_mels=a.n_mels, fmax=a.fmax,
+        ))[0]
+        dmean = np.abs(mel.mean(0) - np.asarray(g["mel_mean"]))
+        dstd = np.abs(mel.std(0) - np.asarray(g["mel_std"]))
+        assert float(dmean.mean()) < 0.3, float(dmean.mean())
+        assert float(dstd.mean()) < 0.3, float(dstd.mean())
