@@ -81,6 +81,14 @@ class CosyEngine:
         self.llm = jax.tree.map(jnp.asarray, trees["llm.pt"])
         self.flow = jax.tree.map(jnp.asarray, trees["flow.pt"])
         self.hift = jax.tree.map(jnp.asarray, trees["hift.pt"])
+        self.s3 = None
+        if "speech_tokenizer_v1.onnx" in trees:
+            from . import s3_tokenizer
+
+            self.s3 = jax.tree.map(
+                jnp.asarray, trees["speech_tokenizer_v1.onnx"]
+            )
+            self.s3_cfg = s3_tokenizer.infer_config(self.s3)
         self.llm_cfg = cosy_llm.infer_config(self.llm)
         n_mels = int(self.flow["encoder_proj"]["w"].shape[1])
         self.flow_cfg = matcha_unet.MatchaFlowConfig(
@@ -99,6 +107,28 @@ class CosyEngine:
         return cls(load_snapshot(snapshot_path), **kw)
 
     # -------------------------------------------------------------- stages
+
+    def tokenize_wav16(self, wav16: np.ndarray) -> np.ndarray:
+        """16 kHz prompt wav -> upstream-token-space speech tokens via the
+        converted S3 tokenizer (closes from-wav serving for converted
+        engines; without it CosyEngine takes pre-tokenized prompts)."""
+        if self.s3 is None:
+            raise ValueError(
+                "no speech_tokenizer_v1.onnx tree in this snapshot — pass "
+                "pre-tokenized prompts instead"
+            )
+        from ...ops.stft import log_mel_spectrogram
+        from . import s3_tokenizer
+
+        w = np.asarray(wav16, np.float32).reshape(1, -1)
+        mel = log_mel_spectrogram(
+            jnp.asarray(w), 16000, 400, 160, 400,
+            n_mels=self.s3_cfg.n_mels, fmax=8000.0,
+        )
+        mask = jnp.ones((1, mel.shape[1]), jnp.float32)
+        tokens, tmask = s3_tokenizer.encode(self.s3, self.s3_cfg, mel, mask)
+        n = int(np.asarray(tmask[0]).sum())
+        return np.asarray(tokens[0, :n])
 
     def generate_tokens(
         self,

@@ -435,7 +435,45 @@ def _hift_rules() -> List[Rule]:
     return rules
 
 
+def _s3_tokenizer_rules() -> List[Rule]:
+    """speech_tokenizer_v1.onnx -> models/compat/s3_tokenizer.py. Whisper
+    module naming (torch export keeps state_dict paths as initializer
+    names); the quantizer codebook key is covered under several plausible
+    spellings. Confidence: high for the encoder (whisper naming is
+    standard), lower for the codebook — the coverage report flags either
+    way. campplus.onnx stays ingestion-only (docs/WEIGHTS.md: the D-TDNN
+    export's initializer names are not reconstructible blind, and a
+    wrong-named table would be noise; the native speaker encoder remains
+    the 192-d home)."""
+    e = r"(?:encoder\.)?blocks\.(\d+)\."
+    d = "blocks/"
+    rules = [
+        Rule(r"(?:encoder\.)?conv1\.weight", "conv1/w", "conv1d"),
+        Rule(r"(?:encoder\.)?conv1\.bias", "conv1/b"),
+        Rule(r"(?:encoder\.)?conv2\.weight", "conv2/w", "conv1d"),
+        Rule(r"(?:encoder\.)?conv2\.bias", "conv2/b"),
+        Rule(r"(?:encoder\.)?ln_post\.weight", "ln_post/scale"),
+        Rule(r"(?:encoder\.)?ln_post\.bias", "ln_post/bias"),
+        Rule(r"(?:encoder\.)?positional_embedding", "pos_emb"),
+        Rule(r"(?:quantizer\.)?(?:_codebook\.embed|codebook(?:\.weight)?|"
+             r"embed\.weight)", "codebook"),
+    ]
+    lin = [("attn.query", "q", True), ("attn.key", "k", False),
+           ("attn.value", "v", True), ("attn.out", "out", True),
+           ("mlp.0", "mlp1", True), ("mlp.2", "mlp2", True)]
+    for src_name, dst_name, bias in lin:
+        sn = re.escape(src_name)
+        rules.append(Rule(e + sn + r"\.weight", d + dst_name + "/w", "T"))
+        if bias:
+            rules.append(Rule(e + sn + r"\.bias", d + dst_name + "/b"))
+    for ln_src, ln_dst in (("attn_ln", "attn_ln"), ("mlp_ln", "mlp_ln")):
+        rules.append(Rule(e + ln_src + r"\.weight", d + ln_dst + "/scale"))
+        rules.append(Rule(e + ln_src + r"\.bias", d + ln_dst + "/bias"))
+    return rules
+
+
 RULESETS: Dict[str, List[Rule]] = {
+    "speech_tokenizer_v1.onnx": _s3_tokenizer_rules(),
     "llm.pt": (
         _encoder_rules("text_encoder", "text_encoder")
         + _encoder_rules("llm", "llm")

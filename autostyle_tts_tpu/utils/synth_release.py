@@ -307,14 +307,64 @@ def build_hift_pt(g: SynthGeometry, seed: int = 2) -> Dict:
     return sd
 
 
+def build_tokenizer_onnx(g: SynthGeometry, seed: int = 3) -> Dict:
+    """Whisper-style S3 tokenizer tensors in upstream key space (numpy —
+    written with our own ONNX wire writer, utils/onnx_load)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    D = g.flow_dim
+    mels = g.n_mels
+
+    def t(*shape, scale=0.3):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    sd = {
+        "encoder.conv1.weight": t(D, mels, 3),
+        "encoder.conv1.bias": t(D),
+        "encoder.conv2.weight": t(D, D, 3),
+        "encoder.conv2.bias": t(D),
+        "encoder.ln_post.weight": np.ones(D, np.float32),
+        "encoder.ln_post.bias": np.zeros(D, np.float32),
+        "encoder.positional_embedding": t(64, D),
+        "quantizer._codebook.embed": t(g.speech_vocab, D),
+    }
+    for i in range(2):
+        e = f"encoder.blocks.{i}"
+        sd.update({
+            f"{e}.attn.query.weight": t(D, D),
+            f"{e}.attn.query.bias": t(D),
+            f"{e}.attn.key.weight": t(D, D),
+            f"{e}.attn.value.weight": t(D, D),
+            f"{e}.attn.value.bias": t(D),
+            f"{e}.attn.out.weight": t(D, D),
+            f"{e}.attn.out.bias": t(D),
+            f"{e}.attn_ln.weight": np.ones(D, np.float32),
+            f"{e}.attn_ln.bias": np.zeros(D, np.float32),
+            f"{e}.mlp.0.weight": t(4 * D, D),
+            f"{e}.mlp.0.bias": t(4 * D),
+            f"{e}.mlp.2.weight": t(D, 4 * D),
+            f"{e}.mlp.2.bias": t(D),
+            f"{e}.mlp_ln.weight": np.ones(D, np.float32),
+            f"{e}.mlp_ln.bias": np.zeros(D, np.float32),
+        })
+    return sd
+
+
 def build_release_dir(path, g: SynthGeometry = SynthGeometry(),
                       seed: int = 0) -> Path:
-    """Write llm.pt / flow.pt / hift.pt into `path` (upstream key space)."""
+    """Write llm.pt / flow.pt / hift.pt / speech_tokenizer_v1.onnx into
+    `path` (upstream key space)."""
     import torch
+
+    from .onnx_load import write_onnx_tensors
 
     d = Path(path)
     d.mkdir(parents=True, exist_ok=True)
     torch.save(build_llm_pt(g, seed), d / "llm.pt")
     torch.save(build_flow_pt(g, seed + 1), d / "flow.pt")
     torch.save(build_hift_pt(g, seed + 2), d / "hift.pt")
+    write_onnx_tensors(
+        d / "speech_tokenizer_v1.onnx", build_tokenizer_onnx(g, seed + 3)
+    )
     return d

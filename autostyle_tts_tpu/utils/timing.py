@@ -33,11 +33,14 @@ class Stopwatch:
         fully pipelined."""
         if not self.profile:
             return
-        import numpy as np
-
-        for leaf in jax.tree_util.tree_leaves(values):
-            if hasattr(leaf, "dtype"):
-                np.asarray(leaf)
+        # ONE batched device_get: serial np.asarray per leaf pays a full
+        # tunnel round-trip per leaf (~28 ms each) and over-counts the span
+        leaves = [
+            leaf for leaf in jax.tree_util.tree_leaves(values)
+            if hasattr(leaf, "dtype")
+        ]
+        if leaves:
+            jax.device_get(leaves)
 
     @contextlib.contextmanager
     def span(self, name: str) -> Iterator[None]:

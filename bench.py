@@ -169,27 +169,29 @@ def bench_retrieval(rng, rtt_s: float):
         store.search_arrays(queries, k=5)
     transport_qps = reps * len(queries) / (time.perf_counter() - t0)
 
-    # device-side: M batched searches inside ONE program, scalar fetch
-    M = 50
-    qs = jnp.asarray(
-        rng.standard_normal((M, 64, 6144)).astype(np.float32)
-    )
+    # device-side: two scan lengths inside one program each; the time
+    # DIFFERENCE is pure kernel time (RTT and dispatch cancel), so the
+    # number no longer swings with tunnel weather (round-2 weak #7)
     db, valid = store.db, store.valid
 
     @jax.jit
     def many(qs):
         def body(acc, q):
-            s, i = cosine_topk(q, db, valid, 5)
+            _, i = cosine_topk(q, db, valid, 5)
             return acc + jnp.sum(i), None
 
         acc, _ = jax.lax.scan(body, jnp.int32(0), qs)
         return acc
 
-    t = _p50(lambda: np.asarray(many(qs)), 5)
-    device_qps = M * 64 / max(t - rtt_s, 1e-9)
+    M1, M2 = 32, 288
+    qs1 = jnp.asarray(rng.standard_normal((M1, 64, 6144)).astype(np.float32))
+    qs2 = jnp.asarray(rng.standard_normal((M2, 64, 6144)).astype(np.float32))
+    t1 = _p50(lambda: np.asarray(many(qs1)), 5)
+    t2 = _p50(lambda: np.asarray(many(qs2)), 5)
+    per_batch = max((t2 - t1) / (M2 - M1), 1e-9)
     return {
         "retrieval_qps_1k_styles_top5": round(transport_qps, 1),
-        "retrieval_qps_device": round(device_qps, 1),
+        "retrieval_qps_device": round(64 / per_batch, 1),
         "retrieval_batch": 64,
     }
 
@@ -217,10 +219,14 @@ def bench_continuous_poisson(engine, texts, style_text, style_feats,
 
     # --- continuous
     bat = ContinuousBatcher(engine, slots=8, chunk=32, max_new=128)
-    # warm every program involved (admit/decode/render)
+    # warm every program involved (admit/decode/render, both gen buckets)
     bat.submit(make_req(0))
     done = bat.drain()
     engine.synthesize_from_tokens(done, max_seconds=5.0)
+    for n_tok in (32, 128):   # warm the B=1 override render buckets
+        engine.synthesize_from_tokens([{
+            "tokens": np.zeros(n_tok, np.int32), "flow_feat": timbre_feat,
+        }], max_seconds=5.0)
 
     bat = ContinuousBatcher(engine, slots=8, chunk=32, max_new=128)
     lat_c = {}
@@ -235,11 +241,11 @@ def bench_continuous_poisson(engine, texts, style_text, style_feats,
             time.sleep(max(arrivals[submitted] - now, 0.0))
             continue
         finished = bat.step()
-        if finished:
-            engine.synthesize_from_tokens(finished, max_seconds=5.0)
-            t_now = time.perf_counter() - t0
-            for req in finished:
-                lat_c[req["id"]] = t_now - arrivals[req["id"]]
+        for req in finished:
+            # per-request render: one compiled B=1 program, and a request's
+            # latency doesn't absorb its harvest-mates' rendering
+            engine.synthesize_from_tokens([req], max_seconds=5.0)
+            lat_c[req["id"]] = time.perf_counter() - t0 - arrivals[req["id"]]
 
     # --- static batches of 8 on the same trace
     lat_s = {}
@@ -469,12 +475,14 @@ def main() -> None:
     # ---- streaming time-to-first-audio (fused first program, round-3)
     def first_chunk() -> float:
         t0 = time.perf_counter()
-        for chunk in engine.inference_tts_with_st(
+        it = engine.inference_tts_with_st(
             texts[2], style_text, style_feats[0], timbre_feat, stream=True
-        ):
-            np.asarray(chunk["tts_speech"])
-            return time.perf_counter() - t0
-        return time.perf_counter() - t0
+        )
+        np.asarray(next(it)["tts_speech"])
+        dt = time.perf_counter() - t0
+        for _ in it:   # drain: the async full-LM must not queue into the
+            pass       # NEXT measurement (abandoned iterators leave it live)
+        return dt
 
     first_chunk()  # warm
     ttfb = float(np.median([first_chunk() for _ in range(7)]))

@@ -158,7 +158,9 @@ def test_relpos_attention_matches_torch_reference():
 
 
 def test_conversion_coverage_all_artifacts(trees):
-    assert set(trees) == {"llm.pt", "flow.pt", "hift.pt"}
+    assert set(trees) == {
+        "llm.pt", "flow.pt", "hift.pt", "speech_tokenizer_v1.onnx",
+    }
     llm = trees["llm.pt"]
     assert llm["text_embedding"].shape == (GEO.text_vocab, GEO.text_in)
     assert llm["text_encoder"]["layers"]["q"]["w"].shape == (
@@ -328,3 +330,38 @@ def test_snapshot_roundtrip(trees, tmp_path):
         back["flow.pt"]["estimator"]["down"]["0"]["res"]["b1_conv"]["w"],
         trees["flow.pt"]["estimator"]["down"]["0"]["res"]["b1_conv"]["w"],
     )
+
+
+def test_s3_tokenizer_conversion_and_encode(trees):
+    """speech_tokenizer_v1.onnx -> whisper-style compat encoder + VQ: strict
+    coverage on the synthetic export, token shapes at the conv2 stride, and
+    padded-tail invariance."""
+    from autostyle_tts_tpu.models.compat import s3_tokenizer
+
+    tree = trees["speech_tokenizer_v1.onnx"]
+    cfg = s3_tokenizer.infer_config(tree, n_heads=2)
+    assert cfg.codebook_size == GEO.speech_vocab
+    tj = jax.tree.map(jnp.asarray, tree)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 12, GEO.n_mels)), jnp.float32)
+    mask = jnp.asarray(np.r_[np.ones(10), np.zeros(2)][None], jnp.float32)
+    toks, tmask = s3_tokenizer.encode(tj, cfg, mel, mask)
+    assert toks.shape == (1, 6)
+    assert int(jnp.max(toks)) < GEO.speech_vocab
+    mel2 = mel.at[0, 10:].set(9.9)
+    toks2, _ = s3_tokenizer.encode(tj, cfg, mel2, mask)
+    np.testing.assert_array_equal(
+        np.asarray(toks)[0, :5], np.asarray(toks2)[0, :5]
+    )
+
+
+def test_cosy_engine_from_wav_tokenize(trees, tmp_path):
+    """Snapshot with the tokenizer tree serves FROM WAV."""
+    save_snapshot(tmp_path / "s.npz", trees)
+    eng = CosyEngine.load(tmp_path / "s.npz", n_steps=2)
+    wav = (0.3 * np.sin(2 * np.pi * 220 * np.arange(3200) / 16000)).astype(
+        np.float32
+    )
+    toks = eng.tokenize_wav16(wav)
+    assert toks.ndim == 1 and len(toks) > 0
+    assert toks.max() < GEO.speech_vocab
