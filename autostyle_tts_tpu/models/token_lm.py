@@ -59,12 +59,42 @@ def unstack_decode_params(params: Params, cfg: TokenLMConfig):
     return layers
 
 
-def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512):
+def _pack4_lanes(q8, s8, force_scale=None):
+    """int8 QTensor leaves -> (uint8 lane-packed int4, f32 scales).
+
+    Re-quantizes the int8 approximation at 4 bits with per-OUTPUT-channel
+    scales, then packs channel pairs (c, c + C/2) per byte (low nibble = c,
+    offset-binary v+8) so the kernel's unpack is elementwise + one lane
+    concat — no Mosaic relayout (ops/pallas_decode._unpack4_lanes).
+    force_scale shares one scale across a leading tile dim (w_down tiles
+    accumulate BEFORE their single post-sum scale multiply)."""
+    import jax.numpy as jnp
+
+    w = q8.astype(jnp.float32) * s8
+    if force_scale is None:
+        absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+        s4 = jnp.maximum(absmax, 1e-8) / 7.0
+    else:
+        s4 = force_scale
+    q4 = jnp.clip(jnp.round(w / s4), -7, 7).astype(jnp.int32)
+    C = q4.shape[-1]
+    lo = q4[..., : C // 2]
+    hi = q4[..., C // 2 :]
+    packed = ((lo + 8) | ((hi + 8) << 4)).astype(jnp.uint8)
+    return packed, s4.astype(jnp.float32)
+
+
+def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512,
+                       bits: int = 8):
     """TILE-MAJOR stacked weights for the one-call-per-step megakernel
     (ops/pallas_decode.mega_decode_step). Every grid step's block is a
     contiguous chunk: qkv split into q/k/v thirds [L, 3, D, N]; gate|up
     interleaved per FFN tile [L, JM, D, 2*tf]; down as row tiles
-    [L, JM, tf, D]. Built once at engine init (outside jit)."""
+    [L, JM, tf, D]. Built once at engine init (outside jit).
+
+    bits=4 re-quantizes every weight stream to lane-packed int4 (uint8,
+    output-channel pairs per byte) — HALF the per-step HBM weight traffic;
+    the kernel dispatches on dtype. Embedding/norms stay bf16/f32."""
     import jax.numpy as jnp
 
     lp = params["layers"]
@@ -109,7 +139,7 @@ def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512):
 
     inv = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
     invf = jnp.tile(jnp.concatenate([inv, inv]), cfg.n_kv_heads)[None, :]
-    return {
+    mp = {
         "emb8": emb8,
         "invf": invf,
         "attn_norm": lp["attn_norm"][:, None, :],
@@ -126,6 +156,23 @@ def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512):
         "head_t": head_q.reshape(D, JH, TV).transpose(1, 0, 2),
         "head_s": head_s.reshape(1, JH, TV).transpose(1, 0, 2),
     }
+    if bits == 4:
+        assert D % 2 == 0 and tf % 2 == 0 and TV % 2 == 0
+        mp["wqkv3"], mp["wqs3"] = _pack4_lanes(mp["wqkv3"], mp["wqs3"])
+        mp["wo"], mp["wos"] = _pack4_lanes(mp["wo"], mp["wos"])
+        mp["wgu_t"], mp["wgus_t"] = _pack4_lanes(mp["wgu_t"], mp["wgus_t"])
+        # w_down tiles accumulate before ONE post-sum scale: share the scale
+        # across tiles (absmax over JM and tf jointly, per output channel)
+        wd_w = mp["wd_t"].astype(jnp.float32) * lp["w_down"].s[:, None]
+        s4 = jnp.maximum(
+            jnp.max(jnp.abs(wd_w), axis=(1, 2), keepdims=True), 1e-8
+        ) / 7.0
+        mp["wd_t"], _ = _pack4_lanes(
+            mp["wd_t"], lp["w_down"].s[:, None], force_scale=s4
+        )
+        mp["wds"] = s4[:, 0]
+        mp["head_t"], mp["head_s"] = _pack4_lanes(mp["head_t"], mp["head_s"])
+    return mp
 
 
 def core_config(cfg: TokenLMConfig) -> TransformerConfig:

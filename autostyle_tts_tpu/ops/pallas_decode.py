@@ -397,6 +397,18 @@ def fused_ok(params, cfg, batch: int) -> bool:
 # revolving 2-slot VMEM scratch one layer ahead.
 
 
+def _unpack4_lanes(w, int4: bool):
+    """Weight block -> bf16. int4 blocks are uint8 with OUTPUT-channel pairs
+    (c, c + C/2) packed per byte (low nibble = c), so unpack is two
+    elementwise passes + a lane concat — no sublane relayout, and the DMA
+    stream halves vs int8. Values are offset-binary (v + 8)."""
+    if not int4:
+        return w.astype(jnp.bfloat16)
+    lo = (w & 0xF).astype(jnp.bfloat16) - 8.0
+    hi = (w >> 4).astype(jnp.bfloat16) - 8.0
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def _mega_kernel(
     sc_ref,        # [1, 5] SMEM: (t, off, suppress_eos, seed, tok_in)
     emb_ref,       # [V8, D] bf16 speech-embedding table (ANY; row-DMA'd)
@@ -441,6 +453,7 @@ def _mega_kernel(
     greedy: bool,
     temperature: float,
     top_k: int,
+    int4: bool,
 ):
     l = pl.program_id(0)
     j = pl.program_id(1)
@@ -495,7 +508,7 @@ def _mega_kernel(
         hf = h_s[:].astype(jnp.float32)
         x = _rmsnorm_f32(hf, anrm_ref[0], eps).astype(jnp.bfloat16)
         part = (
-            jnp.dot(x, wqkv3_ref[0, 0].astype(jnp.bfloat16),
+            jnp.dot(x, _unpack4_lanes(wqkv3_ref[0, 0], int4),
                     preferred_element_type=jnp.float32)
             * wqs3_ref[0, 0]
         )
@@ -569,7 +582,7 @@ def _mega_kernel(
         den_exp = jnp.dot(denom, g_mat.T, preferred_element_type=jnp.float32)
         attn = ((num + pc_exp * v_new) / den_exp).astype(jnp.bfloat16)
         delta = (
-            jnp.dot(attn, wo_ref[0].astype(jnp.bfloat16),
+            jnp.dot(attn, _unpack4_lanes(wo_ref[0], int4),
                     preferred_element_type=jnp.float32)
             * wos_ref[0]
         )
@@ -588,7 +601,7 @@ def _mega_kernel(
         hf = h_s[:].astype(jnp.float32)
         x = _rmsnorm_f32(hf, mnrm_ref[0], eps).astype(jnp.bfloat16)
         gu = (
-            jnp.dot(x, wgu_ref[0, 0].astype(jnp.bfloat16),
+            jnp.dot(x, _unpack4_lanes(wgu_ref[0, 0], int4),
                     preferred_element_type=jnp.float32)
             * wgus_ref[0, 0]
         )
@@ -596,7 +609,7 @@ def _mega_kernel(
         u = gu[:, tf:]
         part = jnp.dot(
             (jax.nn.silu(g) * u).astype(jnp.bfloat16),
-            wd_ref[0, 0].astype(jnp.bfloat16),
+            _unpack4_lanes(wd_ref[0, 0], int4),
             preferred_element_type=jnp.float32,
         )
 
@@ -624,7 +637,7 @@ def _mega_kernel(
         hf = h_s[:].astype(jnp.float32)
         xn = _rmsnorm_f32(hf, fnrm_ref[:], eps).astype(jnp.bfloat16)
         row = (
-            jnp.dot(xn, head_ref[0].astype(jnp.bfloat16),
+            jnp.dot(xn, _unpack4_lanes(head_ref[0], int4),
                     preferred_element_type=jnp.float32)
             * heads_ref[0]
         )
@@ -708,7 +721,14 @@ def mega_decode_step(
     JM = mp["wd_t"].shape[1]
     TF = mp["wd_t"].shape[2]
     JH = mp["head_t"].shape[0]
-    TV = mp["head_t"].shape[2]
+    int4 = mp["wqkv3"].dtype == jnp.uint8    # static at trace time
+    # packed arrays carry half the lanes; logits/activations stay full width
+    NW = mp["wqkv3"].shape[3]
+    DW = mp["wo"].shape[2]
+    GW = mp["wgu_t"].shape[3]
+    DW2 = mp["wd_t"].shape[3]
+    TVW = mp["head_t"].shape[2]
+    TV = TVW * (2 if int4 else 1)
     J = 4 + JM
     assert S % 8 == 0, S
     assert J > JH, (J, JH)   # head tiles + sample step fit one grid row
@@ -716,7 +736,7 @@ def mega_decode_step(
         _mega_kernel, n_heads=n_heads, head_dim=head_dim, eps=eps,
         n_head_tiles=JH, vocab=vocab, pad_id=pad_id,
         bos_id=bos_id, eos_id=eos_id,
-        greedy=greedy, temperature=temperature, top_k=top_k,
+        greedy=greedy, temperature=temperature, top_k=top_k, int4=int4,
     )
     c2 = lambda l, j: (0, 0)
     lmap3 = lambda l, j: (jnp.minimum(l, L - 1), 0, 0)
@@ -728,7 +748,7 @@ def mega_decode_step(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, D, N),
+                (1, 1, D, NW),
                 lambda l, j: (jnp.minimum(l, L - 1), jnp.minimum(j, 2), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -737,12 +757,12 @@ def mega_decode_step(
                 lambda l, j: (jnp.minimum(l, L - 1), jnp.minimum(j, 2), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, N, D), lmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, DW), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N), c2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, D, 2 * TF),
+                (1, 1, D, GW),
                 lambda l, j: (
                     jnp.minimum(l, L - 1), jnp.maximum(j - 4, 0), 0, 0
                 ),
@@ -756,7 +776,7 @@ def mega_decode_step(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, TF, D),
+                (1, 1, TF, DW2),
                 lambda l, j: (
                     jnp.minimum(l, L - 1), jnp.maximum(j - 4, 0), 0, 0
                 ),
@@ -765,7 +785,7 @@ def mega_decode_step(
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), c2, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, D, TV),
+                (1, D, TVW),
                 lambda l, j: (
                     jnp.where(l == L, jnp.minimum(j, JH - 1), 0), 0, 0
                 ),

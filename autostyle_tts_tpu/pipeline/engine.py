@@ -534,8 +534,9 @@ class Engine:
         if not fused_ok(self.params.token_lm, token_lm.core_config(tl), 1):
             return None
         if not hasattr(self, "_mega_params"):
+            bits = 4 if getattr(self.cfg, "quantize_lm_int4", False) else 8
             self._mega_params = token_lm.mega_decode_params(
-                self.params.token_lm, tl
+                self.params.token_lm, tl, bits=bits
             )
         return self._mega_params
 

@@ -290,6 +290,10 @@ class Config:
     # int8 KV cache for LM decode (ops/attention.sdpa_quant): halves the
     # per-step cache read; scales fold into logits/probs so dots read int8
     quantize_lm_kv_int8: bool = False
+    # lane-packed int4 weights for the DECODE MEGAKERNEL only (requires
+    # quantize_lm_int8; prefill + fallback paths stay int8): halves the
+    # per-step weight HBM stream — the B=1 decode bottleneck
+    quantize_lm_int4: bool = False
 
 
 def demo_config() -> Config:

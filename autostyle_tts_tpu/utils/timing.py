@@ -33,14 +33,20 @@ class Stopwatch:
         fully pipelined."""
         if not self.profile:
             return
-        # ONE batched device_get: serial np.asarray per leaf pays a full
-        # tunnel round-trip per leaf (~28 ms each) and over-counts the span
-        leaves = [
-            leaf for leaf in jax.tree_util.tree_leaves(values)
+        # Force COMPUTATION, not transfer: fetch a scalar reduction of each
+        # leaf in ONE batched device_get. Fetching the arrays themselves
+        # would bill the span for transfer payload (a 1 MB wav costs
+        # ~10-20 ms through the tunnel) on top of the one unavoidable RTT;
+        # the reductions dispatch asynchronously and the single scalar
+        # fetch blocks until every producer has run.
+        import jax.numpy as jnp
+
+        sums = [
+            jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(values)
             if hasattr(leaf, "dtype")
         ]
-        if leaves:
-            jax.device_get(leaves)
+        if sums:
+            jax.device_get(sums)
 
     @contextlib.contextmanager
     def span(self, name: str) -> Iterator[None]:

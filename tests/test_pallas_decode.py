@@ -199,3 +199,53 @@ def test_fused_ok_rejects_untileable_ffn():
     ccfg = token_lm.core_config(cfg)
     qparams = quantize_tree(token_lm.init_params(jax.random.PRNGKey(0), cfg))
     assert not fused_ok(qparams, ccfg, batch=1)
+
+
+def test_generate_speech_megakernel_int4_matches_int8():
+    """int4 megakernel parity: weights constrained so the 4-bit
+    re-quantization is EXACT (q in [-7,7], per-channel absmax forced to 7
+    -> identical effective weights), then greedy tokens must match the int8
+    megakernel bit for bit."""
+    from autostyle_tts_tpu.ops.quant import QTensor
+    from autostyle_tts_tpu.ops.sampling import SamplerConfig
+
+    cfg = tiny_config().token_lm
+    params = quantize_tree(token_lm.init_params(jax.random.PRNGKey(5), cfg))
+
+    def fix(t):
+        if isinstance(t, QTensor):
+            q = jnp.clip(t.q, -7, 7).at[..., 0, :].set(7)
+            return QTensor(q=q, s=t.s)
+        return t
+
+    params = jax.tree_util.tree_map(
+        fix, params, is_leaf=lambda x: isinstance(x, QTensor)
+    )
+    mp8 = token_lm.mega_decode_params(params, cfg, tile_f=64, bits=8)
+    mp4 = token_lm.mega_decode_params(params, cfg, tile_f=64, bits=4)
+    assert mp4["wqkv3"].dtype == jnp.uint8
+    assert mp4["wqkv3"].shape[-1] == mp8["wqkv3"].shape[-1] // 2
+    # exact re-quantization: scales must agree to float rounding
+    np.testing.assert_allclose(
+        np.asarray(mp4["wqs3"]), np.asarray(mp8["wqs3"]), rtol=1e-6
+    )
+
+    rng = np.random.default_rng(5)
+    text = jnp.asarray(rng.integers(16, 200, (1, 10)), jnp.int32)
+    sty = jnp.asarray(rng.integers(0, 64, (1, 6)), jnp.int32)
+    spk = jnp.asarray(rng.standard_normal((1, cfg.spk_dim)), jnp.float32)
+    pre = token_lm.build_prefix(
+        params, cfg, text, jnp.asarray([10]), sty, jnp.asarray([6]), spk
+    )
+    key = jax.random.PRNGKey(13)
+    sampler = SamplerConfig(greedy=True)
+    ref = token_lm.generate_speech(
+        params, cfg, pre, key, max_new_tokens=12, sampler=sampler,
+        min_tokens=2, fused=True, decode_params=mp8,
+    )
+    got = token_lm.generate_speech(
+        params, cfg, pre, key, max_new_tokens=12, sampler=sampler,
+        min_tokens=2, fused=True, decode_params=mp4,
+    )
+    assert int(got.lengths[0]) == int(ref.lengths[0])
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
