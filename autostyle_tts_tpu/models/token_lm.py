@@ -60,7 +60,7 @@ def unstack_decode_params(params: Params, cfg: TokenLMConfig):
 
 
 def _pack4_lanes(q8, s8, force_scale=None):
-    """int8 QTensor leaves -> (uint8 lane-packed int4, f32 scales).
+    """int8 QTensor leaves -> (int8 byte-carrier lane-packed int4, f32 scales).
 
     Re-quantizes the int8 approximation at 4 bits with per-OUTPUT-channel
     scales, then packs channel pairs (c, c + C/2) per byte (low nibble = c,
@@ -80,8 +80,21 @@ def _pack4_lanes(q8, s8, force_scale=None):
     C = q4.shape[-1]
     lo = q4[..., : C // 2]
     hi = q4[..., C // 2 :]
-    packed = ((lo + 8) | ((hi + 8) << 4)).astype(jnp.uint8)
+    # int8 carrier, HIGH nibble stored SIGNED (two's complement), low nibble
+    # offset-binary: the signed byte value is then v = 16*hi + (lo+8) with
+    # remainder (lo+8) in [0,15], so the kernel unpacks with floor(v/16) and
+    # v - 16*hi — pure bf16 arithmetic, no shifts/compares (Mosaic supports
+    # neither on packed i8 vectors; see ops/pallas_decode._unpack4_lanes)
+    packed = (hi * 16 + (lo + 8)).astype(jnp.int8)
     return packed, s4.astype(jnp.float32)
+
+
+def int4_lanes_ok(cfg: TokenLMConfig, tile_f: int = 512) -> bool:
+    """True when the int4-packed megakernel weight streams stay whole
+    128-lane vregs (dim/2, tile_f for gate|up, head-tile/2). Narrow/test
+    geometries fail Mosaic's lane-slice alignment and must serve int8."""
+    tf = min(tile_f, cfg.ffn_dim)
+    return cfg.dim % 256 == 0 and tf % 128 == 0
 
 
 def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512,
@@ -92,9 +105,10 @@ def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512,
     interleaved per FFN tile [L, JM, D, 2*tf]; down as row tiles
     [L, JM, tf, D]. Built once at engine init (outside jit).
 
-    bits=4 re-quantizes every weight stream to lane-packed int4 (uint8,
-    output-channel pairs per byte) — HALF the per-step HBM weight traffic;
-    the kernel dispatches on dtype. Embedding/norms stay bf16/f32."""
+    bits=4 re-quantizes every weight stream to lane-packed int4 (int8
+    byte carrier, output-channel pairs per byte) — HALF the per-step HBM
+    weight traffic; the kernel dispatches on packed WIDTH (half lanes).
+    Embedding/norms stay bf16/f32."""
     import jax.numpy as jnp
 
     lp = params["layers"]
@@ -111,7 +125,10 @@ def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512,
     # speech head, column-tiled and lane-padded (padded ids masked in-kernel)
     V = cfg.speech_vocab_size
     JH = max(1, -(-V // 1536))
-    TV = -(-V // (JH * 128)) * 128
+    # int4 packs output-channel pairs per byte, so the PACKED width TV/2
+    # must still be whole 128-lane vregs -> round TV to 256 when packing
+    tv_align = 256 if bits == 4 else 128
+    TV = -(-V // (JH * tv_align)) * tv_align
     head_q = jnp.zeros((D, JH * TV), jnp.int8).at[:, :V].set(
         params["speech_head"].q
     )
@@ -157,6 +174,12 @@ def mega_decode_params(params: Params, cfg: TokenLMConfig, tile_f: int = 512,
         "head_s": head_s.reshape(1, JH, TV).transpose(1, 0, 2),
     }
     if bits == 4:
+        # COMPILED int4 needs every packed stream's last dim (qkv/wo/wd:
+        # D/2; gate|up: tf; head: TV/2) to stay whole 128-lane vregs or
+        # Mosaic rejects the in-kernel lane slices (verified on v5e: width
+        # 64 fails "must be aligned to tiling (128)"). int4_lanes_ok()
+        # gates the engine's compiled path; interpret-mode tests may build
+        # unaligned tiny geometries freely.
         assert D % 2 == 0 and tf % 2 == 0 and TV % 2 == 0
         mp["wqkv3"], mp["wqs3"] = _pack4_lanes(mp["wqkv3"], mp["wqs3"])
         mp["wo"], mp["wos"] = _pack4_lanes(mp["wo"], mp["wos"])

@@ -226,7 +226,10 @@ def _layer(
         # + left-pad mask; the cache is still updated above for decode.
         from ..ops.pallas_attn import flash_attention
 
-        attn = flash_attention(q, k, v, flash_offset).reshape(B, T, H * hd)
+        attn = flash_attention(
+            q, k, v, flash_offset,
+            interpret=jax.default_backend() == "cpu",
+        ).reshape(B, T, H * hd)
     elif quant_cache:
         attn = sdpa_quant(
             q, new_cache["k"], new_cache["k_scale"],
@@ -363,16 +366,30 @@ def mean_pool_hidden(hidden: jnp.ndarray, attn_mask: jnp.ndarray) -> jnp.ndarray
 def embed_text(
     params: Params, cfg: TransformerConfig, tokens: jnp.ndarray,
     attn_mask: jnp.ndarray, lora: Optional[Params] = None, lora_scale: float = 0.0,
+    prefix_mask: bool = True,
 ) -> jnp.ndarray:
-    """[B, T] padded tokens -> [B, D] mean-pooled embedding (no logits)."""
+    """[B, T] padded tokens -> [B, D] mean-pooled embedding (no logits).
+
+    With ``prefix_mask`` (the RIGHT-padded batches every caller builds —
+    reference semantics, milvus/RAG.py:129-140) real tokens form a causal
+    prefix, so plain causal attention is exact on real rows and the Pallas
+    flash kernel runs the prefill without materializing [B, H, T, S] scores
+    (pad-row outputs are garbage but mean_pool masks them out). Pass
+    ``prefix_mask=False`` for an arbitrary attention mask."""
     B, T = tokens.shape
     from ..ops.attention import causal_mask
 
-    mask = causal_mask(T, T) & attn_mask[:, None, None, :].astype(bool)
-    out = forward(
-        params, cfg, tokens, mask=mask, lora=lora, lora_scale=lora_scale,
-        skip_logits=True,
-    )
+    if prefix_mask and flash_ok(T, cfg.head_dim):
+        out = forward(
+            params, cfg, tokens, lora=lora, lora_scale=lora_scale,
+            skip_logits=True, flash_offset=jnp.zeros((B,), jnp.int32),
+        )
+    else:
+        mask = causal_mask(T, T) & attn_mask[:, None, None, :].astype(bool)
+        out = forward(
+            params, cfg, tokens, mask=mask, lora=lora, lora_scale=lora_scale,
+            skip_logits=True,
+        )
     return mean_pool_hidden(out.hidden, attn_mask)
 
 

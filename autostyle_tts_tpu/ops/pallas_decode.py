@@ -398,15 +398,27 @@ def fused_ok(params, cfg, batch: int) -> bool:
 
 
 def _unpack4_lanes(w, int4: bool):
-    """Weight block -> bf16. int4 blocks are uint8 with OUTPUT-channel pairs
-    (c, c + C/2) packed per byte (low nibble = c), so unpack is two
-    elementwise passes + a lane concat — no sublane relayout, and the DMA
-    stream halves vs int8. Values are offset-binary (v + 8)."""
+    """Weight block -> bf16. int4 blocks are INT8-typed bytes with
+    OUTPUT-channel pairs (c, c + C/2) packed per byte (low nibble = c), so
+    unpack is two elementwise passes + a lane concat — no sublane relayout,
+    and the DMA stream halves vs int8."""
     if not int4:
         return w.astype(jnp.bfloat16)
-    lo = (w & 0xF).astype(jnp.bfloat16) - 8.0
-    hi = (w >> 4).astype(jnp.bfloat16) - 8.0
-    return jnp.concatenate([lo, hi], axis=-1)
+    # nibble split in PURE bf16 arithmetic — every intermediate (signed
+    # byte in [-128,127], /16, floor, *16) is exact in bf16's 8-bit
+    # mantissa. The high nibble is stored SIGNED and the low offset-binary
+    # (token_lm._pack4_lanes), so v = 16*hi + (lo+8) and floor(v/16)
+    # recovers hi with NO shifts or compares: Mosaic rejects shifts on
+    # packed 4-byte-per-lane i8 vectors, i8->i32 widening costs relayouts
+    # that made the kernel VPU-bound (0.40 ms vs int8's 0.35 on v5e), and
+    # i1 predicate vectors hit an "Invalid relayout" compile bug.
+    # (floor must run in f32: v5e has no bf16 floor ALU op)
+    v = w.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = jnp.floor(v * (1.0 / 16.0))               # signed high nibble
+    lo = v - hi * 16.0 - 8.0                       # low nibble, re-centred
+    return jnp.concatenate(
+        [lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)], axis=-1
+    )
 
 
 def _mega_kernel(
@@ -721,7 +733,9 @@ def mega_decode_step(
     JM = mp["wd_t"].shape[1]
     TF = mp["wd_t"].shape[2]
     JH = mp["head_t"].shape[0]
-    int4 = mp["wqkv3"].dtype == jnp.uint8    # static at trace time
+    # int4 is detected by WIDTH (packed arrays carry half the lanes): the
+    # byte carrier is int8 either way (Mosaic has no uint8->bf16 cast)
+    int4 = mp["wqkv3"].shape[3] * 2 == N
     # packed arrays carry half the lanes; logits/activations stay full width
     NW = mp["wqkv3"].shape[3]
     DW = mp["wo"].shape[2]

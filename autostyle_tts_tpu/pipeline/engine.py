@@ -535,6 +535,8 @@ class Engine:
             return None
         if not hasattr(self, "_mega_params"):
             bits = 4 if getattr(self.cfg, "quantize_lm_int4", False) else 8
+            if bits == 4 and not token_lm.int4_lanes_ok(tl):
+                bits = 8   # packed widths below the 128-lane Mosaic tile
             self._mega_params = token_lm.mega_decode_params(
                 self.params.token_lm, tl, bits=bits
             )

@@ -33,10 +33,19 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _mark(section: str) -> None:
+    """Section progress to stderr (the driver reads only the stdout JSON)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {section}", file=sys.stderr,
+          flush=True)
 
 BASELINE_S = 5.0  # reference README.md:24 "<5s inference time"
 
@@ -139,11 +148,31 @@ def bench_lm_split(engine, cfg, texts, style_text, sty_feat, tim_feat,
         times[mn] = _p50(lm)
     step_s = max((times[128] - times[8]) / 120.0, 0.0)
     prefill_s = max(times[8] - rtt_s - 8 * step_s, 0.0)
-    return {
+    out = {
         "lm_prefill_ms": round(prefill_s * 1e3, 2),
         "lm_decode_ms_per_step": round(step_s * 1e3, 3),
         "lm_total_128_ms": round(times[128] * 1e3, 1),
     }
+    # int4 megakernel variant (lane-packed nibbles; weight stream halves)
+    if (engine._fused_decode_params((1, p_pad, tl.dim), 128) is not None
+            and token_lm.int4_lanes_ok(tl)):
+        mp4 = token_lm.mega_decode_params(engine.params.token_lm, tl, bits=4)
+        t4 = {}
+        for mn in (8, 128):
+            def lm4():
+                g = token_lm.generate_speech_from_ids(
+                    engine.params.token_lm, tl, d[0], d[1], d[2], d[3], d[4],
+                    key, max_new_tokens=mn, kv_int8=kv8,
+                    fused=True, decode_params=mp4,
+                )
+                np.asarray(g.lengths)
+
+            t4[mn] = _p50(lm4)
+        out["lm_int4_decode_ms_per_step"] = round(
+            max((t4[128] - t4[8]) / 120.0, 0.0) * 1e3, 3
+        )
+        out["lm_int4_total_128_ms"] = round(t4[128] * 1e3, 1)
+    return out
 
 
 def bench_retrieval(rng, rtt_s: float):
@@ -208,6 +237,11 @@ def bench_continuous_poisson(engine, texts, style_text, style_feats,
 
     rng = np.random.default_rng(seed)
     arrivals = np.cumsum(rng.exponential(1.0 / lam_rps, n_req))
+    # mixed utterance lengths (random-init LMs never emit EOS, so model the
+    # production length distribution explicitly): short requests are the
+    # ones continuous batching exists for — they leave their slot early
+    # instead of riding the longest request's bucket
+    lengths = [32, 64, 96, 128]
 
     def make_req(i):
         return {
@@ -215,6 +249,7 @@ def bench_continuous_poisson(engine, texts, style_text, style_feats,
             "style_text": style_text,
             "style_feat": style_feats[i % len(style_feats)],
             "flow_feat": timbre_feat,
+            "max_tokens": lengths[i % 4],
         }
 
     # --- continuous
@@ -223,7 +258,7 @@ def bench_continuous_poisson(engine, texts, style_text, style_feats,
     bat.submit(make_req(0))
     done = bat.drain()
     engine.synthesize_from_tokens(done, max_seconds=5.0)
-    for n_tok in (32, 128):   # warm the B=1 override render buckets
+    for n_tok in (32, 64, 96, 128):  # warm the B=1 override render buckets
         engine.synthesize_from_tokens([{
             "tokens": np.zeros(n_tok, np.int32), "flow_feat": timbre_feat,
         }], max_seconds=5.0)
@@ -331,7 +366,7 @@ def bench_embedder_3b(rtt_s: float):
         np.asarray(core.embed_text(params, cfg, toks, amask)[:, 0])
 
     emb_s = _p50(embed, 5)
-    return {
+    out = {
         "hbm_weights_gb": round(hbm_gb, 2),
         "bio_250tok_s": round(bio_s, 3),
         "emotion_10tok_s": round(emo_s, 3),
@@ -339,6 +374,22 @@ def bench_embedder_3b(rtt_s: float):
         "embed_qps": round(8 / emb_s, 1),
         "decode_ms_per_step": round((bio_s - emo_s) / 240 * 1e3, 2),
     }
+
+    # int4 weight-only variant (the reference trained its LLM 4-bit nf4,
+    # src/ft_llm.py:209-211): halves the decode weight stream again
+    del params
+
+    @jax.jit
+    def build4(key):
+        return quantize_tree(core.init_params(key, cfg), bits=4)
+
+    params = jax.block_until_ready(build4(jax.random.PRNGKey(0)))
+    out["int4_hbm_weights_gb"] = round(tree_bytes(params) / 2**30, 2)
+    bio4 = _p50(lambda: gen(250, SamplerConfig.biography()), 3)
+    emo4 = _p50(lambda: gen(10, SamplerConfig.label()), 3)
+    out["int4_bio_250tok_s"] = round(bio4, 3)
+    out["int4_decode_ms_per_step"] = round((bio4 - emo4) / 240 * 1e3, 2)
+    return out
 
 
 def main() -> None:
@@ -357,6 +408,7 @@ def main() -> None:
     cfg.quantize_lm_kv_int8 = os.environ.get("ASTTTS_BENCH_KV8", "1") != "0"
     engine = Engine(cfg, seed=0)
 
+    _mark("rtt_s")
     rtt_s = measure_rtt_floor()
 
     sr = cfg.audio.prompt_sample_rate
@@ -375,6 +427,7 @@ def main() -> None:
 
     # ---- DB-served path (headline): featurize prompts ONCE (insert time),
     # serve every request from precomputed features
+    _mark("style_feats")
     style_feats = engine.prompt_features(styles)
     timbre_feat = engine.prompt_features([timbre])[0]
 
@@ -393,6 +446,7 @@ def main() -> None:
         audio_s_sum += wav.shape[1] / cfg.audio.sample_rate
     audio_s = audio_s_sum / len(texts)
 
+    _mark("times")
     times = []
     for i in range(24):     # enough reps that tunnel jitter doesn't move p50
         t0 = time.perf_counter()
@@ -411,6 +465,7 @@ def main() -> None:
             max_seconds=5.0,
         )[0]
 
+    _mark("run_cold")
     run_cold(0)
     cold = []
     for i in range(7):
@@ -424,6 +479,7 @@ def main() -> None:
     # number subtracts the measured floor (round-2 VERDICT #5 — the old
     # docstring claimed the raw sums matched e2e; they can't through a
     # tunnel)
+    _mark("prof")
     prof = Engine(cfg, seed=0, profile=True)
     pf = prof.prompt_features(styles[:1] + [timbre])
     for i in range(3):  # warm every bucket first
@@ -456,6 +512,7 @@ def main() -> None:
         return engine.synthesize_batch(texts8, stexts8, styles8, timbres8,
                                        max_seconds=5.0)
 
+    _mark("wavs8")
     wavs8 = run8()  # warmup/compile
     batch_audio_s = sum(len(w) for w in wavs8) / cfg.audio.sample_rate
     t8 = []
@@ -468,6 +525,7 @@ def main() -> None:
     batch_utt_per_s = 8 / t8_med
 
     # ---- continuous vs static under Poisson arrivals (per-request latency)
+    _mark("poisson")
     poisson = bench_continuous_poisson(
         engine, texts, style_text, style_feats, timbre_feat
     )
@@ -484,10 +542,13 @@ def main() -> None:
             pass       # NEXT measurement (abandoned iterators leave it live)
         return dt
 
+    _mark("first_chunk")
     first_chunk()  # warm
     ttfb = float(np.median([first_chunk() for _ in range(7)]))
 
+    _mark("retrieval")
     retrieval = bench_retrieval(rng, rtt_s)
+    _mark("embedder")
     embedder = bench_embedder_3b(rtt_s)
 
     print(

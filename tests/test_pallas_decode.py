@@ -223,7 +223,7 @@ def test_generate_speech_megakernel_int4_matches_int8():
     )
     mp8 = token_lm.mega_decode_params(params, cfg, tile_f=64, bits=8)
     mp4 = token_lm.mega_decode_params(params, cfg, tile_f=64, bits=4)
-    assert mp4["wqkv3"].dtype == jnp.uint8
+    assert mp4["wqkv3"].dtype == jnp.int8     # int8 byte carrier
     assert mp4["wqkv3"].shape[-1] == mp8["wqkv3"].shape[-1] // 2
     # exact re-quantization: scales must agree to float rounding
     np.testing.assert_allclose(

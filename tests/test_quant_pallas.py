@@ -114,6 +114,32 @@ def test_flash_block_boundaries():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_embed_text_flash_matches_masked_sdpa(monkeypatch):
+    """embed_text's flash prefill path (prefix_mask + right padding): plain
+    causal attention must equal the explicit prefix-mask path on every real
+    row — pad rows are pooled away (transformer.embed_text contract)."""
+    cfg = TransformerConfig(
+        vocab_size=211, dim=128, n_layers=2, n_heads=2, n_kv_heads=1,
+        ffn_dim=128, max_seq_len=256, dtype="float32",
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    B, T = 2, 128
+    lens = np.asarray([T, 57])
+    toks = np.zeros((B, T), np.int32)
+    for i, n in enumerate(lens):
+        toks[i, :n] = rng.integers(1, cfg.vocab_size, n)
+    mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.int32)
+    ref = tfm.embed_text(
+        params, cfg, jnp.asarray(toks), jnp.asarray(mask), prefix_mask=False
+    )
+    monkeypatch.setattr(tfm, "flash_ok", lambda t, hd: True)
+    got = tfm.embed_text(
+        params, cfg, jnp.asarray(toks), jnp.asarray(mask), prefix_mask=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
 # ----------------------------------------------------------------------- int4
 
 
