@@ -362,8 +362,11 @@ def bench_embedder_3b(rtt_s: float):
     toks = jnp.asarray(rng.integers(1, 30000, (8, T)).astype(np.int32))
     amask = jnp.ones((8, T), jnp.float32)
 
+    # jitted like the production path (pipeline/rag.py StyleEmbedder._embed_fn)
+    emb_fn = jax.jit(lambda p, t, m: core.embed_text(p, cfg, t, m))
+
     def embed():
-        np.asarray(core.embed_text(params, cfg, toks, amask)[:, 0])
+        np.asarray(emb_fn(params, toks, amask)[:, 0])
 
     emb_s = _p50(embed, 5)
     out = {

@@ -131,6 +131,29 @@ def test_samplers():
     assert int(sample(jax.random.PRNGKey(7), logits, cfg)[0]) == 1
 
 
+def test_top_p_cap_matches_full_sort():
+    """The top_p candidate cap is exact when the nucleus fits in the cap:
+    the masked logits must be IDENTICAL to the full-vocab-sort path on a
+    peaked (trained-model-like) distribution over a big vocab."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from autostyle_tts_tpu.ops.sampling import _apply_top_p
+
+    rng = np.random.default_rng(0)
+    V = 4096
+    raw = rng.standard_normal((2, V)) * 6.0      # peaked: nucleus << 64
+    logits = jnp.asarray(raw, jnp.float32)
+    exact = _apply_top_p(logits, 0.9, cap=0)
+    capped = _apply_top_p(logits, 0.9, cap=64)
+    np.testing.assert_allclose(np.asarray(capped), np.asarray(exact))
+    # near-flat distribution (distinct values): the cap truncates support to
+    # exactly `cap` candidates instead of the ~0.999*V the full sort keeps
+    ramp = jnp.asarray(np.arange(V, dtype=np.float32)[None] * 1e-4)
+    out = np.asarray(_apply_top_p(ramp, 0.999, cap=64))
+    assert (out[0] > -1e29).sum() == 64
+
+
 def test_tb_event_writer_roundtrip(tmp_path):
     """Real tensorboard events file: TFRecord framing + Event/Summary protos
     parse back (CRCs validated), crc32c matches the known test vector."""
