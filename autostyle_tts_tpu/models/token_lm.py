@@ -700,20 +700,72 @@ def decode_chunk(
     min_tokens: int = 2,
 ):
     """Advance EVERY slot by `n_steps` tokens in one program — the inner loop
-    of iteration-level continuous batching. Unlike generate_speech, each slot
-    sits at its OWN decode position (per-row cache_start -> batched scatter
-    in the core), so requests admitted at different times share one batch.
+    of iteration-level continuous batching. Each slot sits at its OWN decode
+    position.
+
+    Designed from a device profile (v5e, B=8, S=552): routing the cache
+    through `core.forward`'s nested layer-scan cost 5.4 ms/step — ~54% of
+    it buffer machinery (a whole-cache copy per outer scan step + per-layer
+    copy-on-write updates + materialized per-layer slices), none of it
+    weights (0.38 ms). So this loop is UNROLLED over layers with the main
+    cache as a READ-ONLY input: static per-layer slices fuse straight into
+    the attention reads, new KV rows go to small append buffers carried
+    through the scan ([L, B, n_steps, K, hd]), attention merges the two
+    segments with a joint softmax, and the append rows are folded into each
+    row's home slots ONCE per chunk. Callers size the cache with `n_steps`
+    spare slots (ContinuousBatcher.s_max) so capacity is preserved.
     Returns (cache, cur_logits, t, done, steps, tokens [B, n_steps])."""
+    from ..ops.attention import NEG_INF, apply_rope
+    from ..ops.quant import QTensor
+
     ccfg = core_config(cfg)
     B, V = cur_logits.shape
-    S_max = cache["k"].shape[2]
-    slot = jnp.arange(S_max, dtype=jnp.int32)
+    L, H, K, hd = (ccfg.n_layers, ccfg.n_heads, ccfg.n_kv_heads,
+                   ccfg.head_dim)
+    rep = H // K
+    D = ccfg.dim
+    S_tot = cache["k"].shape[2]
+    S_eff = S_tot - n_steps            # last n_steps slots are spare
     eos, padt = cfg.speech_eos, cfg.speech_pad
     head = params["speech_head"]
+    lp = params["layers"]
     dt = jnp.dtype(ccfg.dtype)
+    eps = ccfg.norm_eps
+    cos_tab, sin_tab = rope_table(ccfg.max_seq_len, hd, ccfg.rope_theta)
+    t0 = t                             # home fill level BEFORE this chunk
+    k_main = cache["k"]                # [L, B, S_tot, K, hd] — read-only
+    v_main = cache["v"]
+    slot = jnp.arange(S_tot, dtype=jnp.int32)
+    main_valid = (
+        (slot[None, :] >= offset[:, None]) & (slot[None, :] < t0[:, None])
+    )                                  # [B, S_tot]; t0 < S_eff so spare=off
+    app_idx = jnp.arange(n_steps, dtype=jnp.int32)
 
-    def step(carry, _):
-        cache, logits, t, done, steps, key = carry
+    def lw(w, l):
+        return QTensor(q=w.q[l], s=w.s[l]) if isinstance(w, QTensor) else w[l]
+
+    def attn_2seg(q, k_m, v_m, k_a, v_a, a_valid):
+        """T=1 GQA attention over [main cache | this chunk's append rows],
+        joint softmax, everything in the caches' NATIVE [B, S, K, hd]
+        layout (no transposes/materialized f32 copies — the main segment
+        streams exactly once)."""
+        qf = q.astype(jnp.float32).reshape(B, 1, K, rep, hd) * hd ** -0.5
+        lm = jnp.sum(qf * k_m.astype(jnp.float32)[:, :, :, None, :], -1)
+        lm = jnp.where(main_valid[:, :, None, None], lm, NEG_INF)
+        la = jnp.sum(qf * k_a.astype(jnp.float32)[:, :, :, None, :], -1)
+        la = jnp.where(a_valid[None, :, None, None], la, NEG_INF)
+        mx = jnp.maximum(jnp.max(lm, 1), jnp.max(la, 1))[:, None]
+        pm = jnp.exp(lm - mx)
+        pa = jnp.exp(la - mx)
+        den = jnp.maximum(jnp.sum(pm, 1) + jnp.sum(pa, 1), 1e-30)
+        num = (
+            jnp.sum(pm[..., None] * v_m.astype(jnp.float32)[:, :, :, None, :], 1)
+            + jnp.sum(pa[..., None] * v_a.astype(jnp.float32)[:, :, :, None, :], 1)
+        )
+        return (num / den[..., None]).reshape(B, H * hd)
+
+    def step(carry, i):
+        app_k, app_v, logits, t, done, steps, key = carry
         key, sub = jax.random.split(key)
         lg = logits.at[:, padt].set(-1e30).at[:, cfg.speech_bos].set(-1e30)
         lg = jnp.where(
@@ -722,22 +774,58 @@ def decode_chunk(
         )
         tok = sample(sub, lg, sampler)
         tok = jnp.where(done, padt, tok)
-        done = done | (tok == eos) | (t >= S_max - 2)
+        done = done | (tok == eos) | (t >= S_eff - 2)
         steps = steps + (tok != padt).astype(jnp.int32)
-        emb = params["speech_emb"][tok][:, None, :].astype(dt)
-        positions = jnp.maximum(t - offset, 0)[:, None]
-        smask = (
-            (slot[None, :] >= offset[:, None]) & (slot[None, :] <= t[:, None])
-        )[:, None, None, :]
-        out = core.forward(
-            params, ccfg, inputs_embeds=emb, positions=positions, mask=smask,
-            cache=cache, cache_start=t, skip_logits=True,
-        )
-        nxt = core.matmul_any(out.hidden[:, 0], head).astype(jnp.float32)
-        t = jnp.minimum(t + 1, S_max - 1)
-        return (out.cache, nxt, t, done, steps, key), tok
+        h = params["speech_emb"][tok].astype(dt)           # [B, D]
+        pos = jnp.maximum(t - offset, 0)[:, None]          # [B, 1]
+        a_valid = app_idx <= i                             # [n_steps]
+        for l in range(L):
+            x = core.rmsnorm(h, lp["attn_norm"][l], eps)
+            qkv = core.matmul_any(x, lw(lp["wqkv"], l)).astype(dt)
+            q, k_new, v_new = jnp.split(
+                qkv, [H * hd, (H + K) * hd], axis=-1
+            )
+            q = apply_rope(q.reshape(B, 1, H, hd), cos_tab, sin_tab, pos)
+            k_new = apply_rope(
+                k_new.reshape(B, 1, K, hd), cos_tab, sin_tab, pos
+            )
+            v_new = v_new.reshape(B, 1, K, hd)
+            app_k = jax.lax.dynamic_update_slice(
+                app_k, k_new.astype(dt)[None], (l, 0, i, 0, 0)
+            )
+            app_v = jax.lax.dynamic_update_slice(
+                app_v, v_new.astype(dt)[None], (l, 0, i, 0, 0)
+            )
+            attn = attn_2seg(
+                q, k_main[l], v_main[l], app_k[l], app_v[l], a_valid
+            ).astype(dt)
+            h = h + core.matmul_any(attn, lw(lp["wo"], l)).astype(dt)
+            x = core.rmsnorm(h, lp["mlp_norm"][l], eps)
+            gu = core.matmul_any(x, lw(lp["w_gate_up"], l))
+            g, u = jnp.split(gu, 2, axis=-1)
+            dn = core.matmul_any(
+                (jax.nn.silu(g) * u).astype(dt), lw(lp["w_down"], l)
+            )
+            h = h + dn.astype(dt)
+        hn = core.rmsnorm(h, params["final_norm"], eps)
+        nxt = core.matmul_any(hn.astype(dt), head).astype(jnp.float32)
+        t = jnp.minimum(t + 1, S_eff - 1)
+        return (app_k, app_v, nxt, t, done, steps, key), tok
 
-    (cache, cur_logits, t, done, steps, _), toks = jax.lax.scan(
-        step, (cache, cur_logits, t, done, steps, key), None, length=n_steps,
+    app_k0 = jnp.zeros((L, B, n_steps, K, hd), dt)
+    app_v0 = jnp.zeros((L, B, n_steps, K, hd), dt)
+    (app_k, app_v, cur_logits, t, done, steps, _), toks = jax.lax.scan(
+        step, (app_k0, app_v0, cur_logits, t, done, steps, key),
+        jnp.arange(n_steps),
     )
+
+    def fold(main, app):
+        # ONE per-row scatter per chunk: append rows -> home slots at t0_b.
+        # DUS clamps starts in-bounds; rows near capacity are done already.
+        one = lambda mb, ab, s0: jax.lax.dynamic_update_slice(
+            mb, ab.astype(mb.dtype), (0, s0, 0, 0)
+        )
+        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(main, app, t0)
+
+    cache = {"k": fold(k_main, app_k), "v": fold(v_main, app_v)}
     return cache, cur_logits, t, done, steps, toks.T
