@@ -58,26 +58,36 @@ def qmatmul(x: jnp.ndarray, t: QTensor) -> jnp.ndarray:
 
 
 def quantize4(w: jnp.ndarray) -> Q4Tensor:
-    """Symmetric per-output-channel int4 over the contraction dim (axis -2)."""
+    """Symmetric per-output-channel int4 over the contraction dim (axis -2).
+
+    Packing pairs contraction rows (r, r + D/2) per byte — CONTIGUOUS HALF
+    BLOCKS, not interleaved rows: interleave needs a sublane relayout to
+    unpack (a stack+reshape XLA materializes at ~50x the cost of the
+    matmul on v5e — measured 272 ms/step at 7B), while half blocks unpack
+    as two elementwise nibble extractions that fuse straight into two
+    half-contraction dots (q4matmul)."""
     D = w.shape[-2]
     if D % 2:
         raise ValueError(f"int4 packing needs an even contraction dim, got {D}")
     absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int8)
-    lo = q[..., 0::2, :]
-    hi = q[..., 1::2, :]
+    lo = q[..., : D // 2, :]
+    hi = q[..., D // 2 :, :]
     packed = ((lo + 8) | ((hi + 8) << 4)).astype(jnp.uint8)
     return Q4Tensor(packed=packed, s=scale.astype(jnp.float32))
 
 
+def _nibbles(packed: jnp.ndarray):
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    return lo, hi
+
+
 def unpack4(t: Q4Tensor) -> jnp.ndarray:
-    """-> int8 [..., D, out] (interleaved un-pack)."""
-    lo = (t.packed & 0xF).astype(jnp.int8) - 8
-    hi = (t.packed >> 4).astype(jnp.int8) - 8
-    D2 = t.packed.shape[-2]
-    out = jnp.stack([lo, hi], axis=-2)  # [..., D//2, 2, out]
-    return out.reshape(t.packed.shape[:-2] + (2 * D2, t.packed.shape[-1]))
+    """-> int8 [..., D, out] (concat of the two half blocks)."""
+    lo, hi = _nibbles(t.packed)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def dequantize4(t: Q4Tensor, dtype=jnp.float32) -> jnp.ndarray:
@@ -85,10 +95,18 @@ def dequantize4(t: Q4Tensor, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def q4matmul(x: jnp.ndarray, t: Q4Tensor) -> jnp.ndarray:
-    """x @ dequant4(t): nibbles unpack on the fly (fused by XLA), scale folded
-    after the contraction."""
-    w = unpack4(t).astype(x.dtype)
-    y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+    """x @ dequant4(t) as TWO half-contraction dots: each nibble extraction
+    is elementwise on the packed bytes, so XLA fuses it into the dot's
+    operand stream and the unpacked weights are never materialized — the
+    byte array streams once per half. Scales fold after the summed
+    contraction."""
+    D2 = t.packed.shape[-2]
+    lo, hi = _nibbles(t.packed)
+    y = jnp.matmul(
+        x[..., :D2], lo.astype(x.dtype), preferred_element_type=jnp.float32
+    ) + jnp.matmul(
+        x[..., D2:], hi.astype(x.dtype), preferred_element_type=jnp.float32
+    )
     return (y * t.s.astype(jnp.float32)).astype(x.dtype)
 
 

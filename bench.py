@@ -417,17 +417,56 @@ def bench_embedder_7b():
     import jax.numpy as jnp
 
     from autostyle_tts_tpu.models import transformer as core
-    from autostyle_tts_tpu.ops.quant import quantize_tree, tree_bytes
+    from autostyle_tts_tpu.ops.quant import Q4Tensor, quantize4, tree_bytes
     from autostyle_tts_tpu.ops.sampling import SamplerConfig
     from autostyle_tts_tpu.utils.config import qwen25_7b_config
 
     cfg = qwen25_7b_config()
+    L, D, F = cfg.n_layers, cfg.dim, cfg.ffn_dim
+    H, K, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    def stacked_q4(key, fan_in, out):
+        # quantize layer-at-a-time: a whole-tree init+quantize jit OOMs the
+        # 16 GB chip (the f32 gate_up stack alone is 15 GB at 7B geometry)
+        @jax.jit
+        def build(key):
+            def one(k):
+                w = jax.random.truncated_normal(
+                    k, -3, 3, (fan_in, out), jnp.float32
+                ) / fan_in ** 0.5
+                t = quantize4(w)
+                return t.packed, t.s
+            return jax.lax.map(one, jax.random.split(key, L))
+
+        p, s = jax.block_until_ready(build(key))
+        return Q4Tensor(packed=p, s=s)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 8)
 
     @jax.jit
-    def build(key):
-        return quantize_tree(core.init_params(key, cfg), bits=4)
+    def head4(key):
+        w = jax.random.truncated_normal(
+            key, -3, 3, (D, cfg.vocab_size), jnp.float32
+        ) / D ** 0.5
+        t = quantize4(w)
+        return t.packed, t.s
 
-    params = jax.block_until_ready(build(jax.random.PRNGKey(0)))
+    hp, hs = jax.block_until_ready(head4(keys[5]))
+    params = {
+        "tok_emb": jax.random.normal(
+            keys[0], (cfg.vocab_size, D), jnp.bfloat16
+        ) * D ** -0.5,
+        "layers": {
+            "attn_norm": jnp.ones((L, D), jnp.float32),
+            "wqkv": stacked_q4(keys[1], D, (H + 2 * K) * hd),
+            "wo": stacked_q4(keys[2], H * hd, D),
+            "mlp_norm": jnp.ones((L, D), jnp.float32),
+            "w_gate_up": stacked_q4(keys[3], D, 2 * F),
+            "w_down": stacked_q4(keys[4], F, D),
+        },
+        "final_norm": jnp.ones((D,), jnp.float32),
+        "lm_head": Q4Tensor(packed=hp, s=hs),
+    }
     hbm_gb = tree_bytes(params) / 2**30
     P = 128
     rng = np.random.default_rng(3)
