@@ -626,11 +626,19 @@ def main() -> None:
     batch_rtf = t8_med / max(batch_audio_s, 1e-9)
     batch_utt_per_s = 8 / t8_med
 
+    def _section(name, fn):
+        """Extras must not kill the headline: a failed section reports its
+        error string instead of crashing the whole bench."""
+        _mark(name)
+        try:
+            return fn()
+        except Exception as e:          # pragma: no cover - defensive
+            return {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # ---- continuous vs static under Poisson arrivals (per-request latency)
-    _mark("poisson")
-    poisson = bench_continuous_poisson(
+    poisson = _section("poisson", lambda: bench_continuous_poisson(
         engine, texts, style_text, style_feats, timbre_feat
-    )
+    ))
 
     # ---- streaming time-to-first-audio (fused first program, round-3)
     def first_chunk() -> float:
@@ -644,16 +652,18 @@ def main() -> None:
             pass       # NEXT measurement (abandoned iterators leave it live)
         return dt
 
-    _mark("first_chunk")
-    first_chunk()  # warm
-    ttfb = float(np.median([first_chunk() for _ in range(7)]))
+    def _ttfb():
+        first_chunk()  # warm
+        return float(np.median([first_chunk() for _ in range(7)]))
 
-    _mark("retrieval")
-    retrieval = bench_retrieval(rng, rtt_s)
-    _mark("embedder")
-    embedder = bench_embedder_3b(rtt_s)
-    _mark("embedder_7b")
-    embedder7 = bench_embedder_7b()
+    ttfb = _section("first_chunk", _ttfb)
+    if isinstance(ttfb, dict):
+        ttfb = -1.0    # section failed; -1 keeps the JSON strictly valid
+    retrieval = _section("retrieval", lambda: bench_retrieval(rng, rtt_s))
+    if "error" in retrieval:
+        retrieval = {"retrieval_error": retrieval["error"]}
+    embedder = _section("embedder", lambda: bench_embedder_3b(rtt_s))
+    embedder7 = _section("embedder_7b", bench_embedder_7b)
 
     print(
         json.dumps(
