@@ -64,6 +64,107 @@ def _read_batch(stream: TextIO, batch: int, max_wait_ms: float) -> List[dict]:
     return out
 
 
+def _serve_streaming(args, engine, stream, result_dir, prompt_of, out_sr):
+    """--continuous --stream loop: every request is a live streaming session
+    (pipeline/stream_serve.StreamingScheduler). Emits one JSONL line per
+    audio chunk ({"id", "chunk", "wav", "ttfb_ms" on the first}) and a
+    summary line with the stitched full wav when a session completes."""
+    import select
+
+    import numpy as np
+
+    from ..pipeline.stream_serve import StreamingScheduler
+
+    sch = StreamingScheduler(
+        engine, slots=args.slots, max_seconds=args.max_seconds,
+        p_max=args.p_max,
+    )
+    meta: dict = {}
+
+    def featurize_req(req):
+        req["_t0"] = time.perf_counter()
+        for key, kind in (("style_feat", "style"), ("flow_feat", "timbre")):
+            v = prompt_of(req, kind)
+            req[key] = (
+                v if hasattr(v, "tokens")
+                else engine.prompt_features([np.asarray(v).reshape(-1)])[0]
+            )
+        return req
+
+    def try_read(block: bool) -> bool:
+        while True:
+            if stream is sys.stdin and not block:
+                r, _, _ = select.select([stream], [], [], 0)
+                if not r:
+                    return True
+            line = stream.readline()
+            if not line:
+                return False
+            block = False
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = featurize_req(json.loads(line))
+                sid = sch.submit(req)
+                meta[sid] = {
+                    "req": req, "chunks": [], "n": 0,
+                    "rid": str(req.get("id", sid)),
+                }
+            except Exception as e:
+                print(json.dumps({"error": str(e)}), flush=True)
+
+    served = 0
+    eof = False
+    try:
+        while True:
+            if not eof:
+                eof = not try_read(block=sch.idle)
+            if eof and sch.idle:
+                break
+            for ev in sch.step():
+                m = meta[ev.session]
+                t0 = m["req"].get("_t0", time.perf_counter())
+                if ev.kind == "chunk":
+                    cp = result_dir / f"{m['rid']}.chunk{m['n']:03d}.wav"
+                    save_wav_22050_or_24k(cp, ev.wav, engine)
+                    line = {
+                        "id": m["rid"], "chunk": m["n"], "wav": str(cp),
+                        "samples": int(ev.wav.size),
+                    }
+                    if m["n"] == 0:
+                        line["ttfb_ms"] = round(
+                            (time.perf_counter() - t0) * 1000, 1
+                        )
+                    print(json.dumps(line), flush=True)
+                    m["chunks"].append(ev.wav)
+                    m["n"] += 1
+                elif ev.kind == "error":
+                    print(json.dumps(
+                        {"id": m["rid"], "error": ev.error}
+                    ), flush=True)
+                else:  # done
+                    wav = (
+                        np.concatenate(m["chunks"])
+                        if m["chunks"] else np.zeros(0, np.float32)
+                    )
+                    out = result_dir / f"{m['rid']}.wav"
+                    save_wav_22050_or_24k(out, wav, engine)
+                    served += 1
+                    print(json.dumps({
+                        "id": m["rid"], "wav": str(out),
+                        "samples": int(wav.size), "chunks": m["n"],
+                        "audio_s": round(wav.size / out_sr, 3),
+                        "latency_ms": round(
+                            (time.perf_counter() - t0) * 1000, 1
+                        ),
+                    }), flush=True)
+    finally:
+        if stream is not sys.stdin:
+            stream.close()
+    print(json.dumps({"served": served, "done": True}), flush=True)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
@@ -88,6 +189,11 @@ def main(argv=None) -> None:
     p.add_argument("--p_max", type=int, default=384,
                    help="--continuous: prefix budget (text + style tokens); "
                         "longer requests are rejected per-request")
+    p.add_argument("--stream", action="store_true",
+                   help="with --continuous: emit audio CHUNKS as each "
+                        "session decodes (pipeline/stream_serve.py) — every "
+                        "request hears first audio while others still "
+                        "decode; chunk files land next to the final wav")
     args = p.parse_args(argv)
 
     engine = build_engine(args)
@@ -135,6 +241,9 @@ def main(argv=None) -> None:
 
     stream = sys.stdin if args.requests == "-" else open(args.requests, encoding="utf-8")
     served = 0
+    if args.continuous and args.stream:
+        _serve_streaming(args, engine, stream, result_dir, prompt_of, out_sr)
+        return
     if args.continuous:
         from ..pipeline.continuous import ContinuousBatcher
 

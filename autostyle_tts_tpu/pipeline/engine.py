@@ -620,6 +620,39 @@ class Engine:
 
     # ------------------------------------------------------------------ streaming
 
+    def _flow_stream_dev(self, flow_feat: PromptFeatures):
+        """Device-side window arrays for streaming renders, cached ON the
+        PromptFeatures object (DB-served prompts repeat across requests;
+        re-uploading the prompt mel through a tunneled device costs ~5 ms
+        of TTFB). The flow prompt is clipped to its LAST 64 tokens: the
+        window solves in-paint against recent context, and the window CFM
+        cost scales with fp_w. Returns ((fp_w, up, M), prompt_tokens,
+        prompt_mel, n_p, n_mel, spk)."""
+        cfg = self.cfg
+        up = cfg.cfm.upsample
+        M = cfg.cfm.n_mels
+        stream_ctx = 64
+        tok_all = flow_feat.tokens
+        k0 = max(0, len(tok_all) - stream_ctx)
+        tok_clip = tok_all[k0:]
+        mel_clip = flow_feat.mel24[k0 * up :]
+        fp_w = _bucket(len(tok_clip), TOKEN_BUCKETS)
+        n_p = min(len(tok_clip), fp_w)
+        n_mel = min(mel_clip.shape[0], n_p * up)
+        dev = getattr(flow_feat, "_stream_dev", None)
+        if dev is None or dev[0] != (fp_w, up, M):
+            prompt_tokens = np.zeros((1, fp_w), np.int32)
+            prompt_tokens[0, :n_p] = tok_clip[:n_p]
+            prompt_mel = np.zeros((1, fp_w * up, M), np.float32)
+            prompt_mel[0, :n_mel] = mel_clip[:n_mel]
+            dev = (
+                (fp_w, up, M), jnp.asarray(prompt_tokens),
+                jnp.asarray(prompt_mel), jnp.int32(n_p), jnp.int32(n_mel),
+                jnp.asarray(flow_feat.spk[None]),
+            )
+            flow_feat._stream_dev = dev
+        return dev
+
     def _synthesize_stream(
         self,
         text: str,
@@ -654,35 +687,11 @@ class Engine:
         # their per-chunk round-trip against 0.64 s of playback regardless
         chunk = chunk_tokens or max(8, (2 * tl.token_rate) // 3)
 
-        # clip the flow prompt to its LAST stream_ctx tokens for the window
-        # solves: in-painting needs recent context, not the whole prompt, and
-        # the window CFM cost scales with fp_w. Positions are consistent
-        # across all of the stream's windows (they all share the clip).
-        stream_ctx = 64
-        tok_all = flow_feat.tokens
-        k0 = max(0, len(tok_all) - stream_ctx)
-        tok_clip = tok_all[k0:]
-        mel_clip = flow_feat.mel24[k0 * up :]
-        fp_w = _bucket(len(tok_clip), TOKEN_BUCKETS)
-        n_p = min(len(tok_clip), fp_w)
-        n_mel = min(mel_clip.shape[0], n_p * up)
+        _, d_prompt, d_pmel, d_np, d_nmel, spk = self._flow_stream_dev(
+            flow_feat
+        )
+        fp_w = d_prompt.shape[1]
         M = cfg.cfm.n_mels
-        # cache the device-side window arrays ON the PromptFeatures object:
-        # DB-served prompts repeat across requests, and re-uploading the
-        # prompt mel through a tunneled device costs ~5 ms of TTFB
-        dev = getattr(flow_feat, "_stream_dev", None)
-        if dev is None or dev[0] != (fp_w, up, M):
-            prompt_tokens = np.zeros((1, fp_w), np.int32)
-            prompt_tokens[0, :n_p] = tok_clip[:n_p]
-            prompt_mel = np.zeros((1, fp_w * up, M), np.float32)
-            prompt_mel[0, :n_mel] = mel_clip[:n_mel]
-            dev = (
-                (fp_w, up, M), jnp.asarray(prompt_tokens),
-                jnp.asarray(prompt_mel), jnp.int32(n_p), jnp.int32(n_mel),
-                jnp.asarray(flow_feat.spk[None]),
-            )
-            flow_feat._stream_dev = dev
-        _, d_prompt, d_pmel, d_np, d_nmel, spk = dev
 
         def cfm_key():
             self.key, sub = jax.random.split(self.key)

@@ -1,0 +1,192 @@
+"""Concurrent streaming TTS serving: N live sessions, shared decode.
+
+Combines the two round-3 serving paths into the production shape neither
+covers alone: `pipeline/continuous.py` gives per-request admission latency
+(slot-pool LM decode, batched admissions) but emits audio only when a
+request FINISHES; `Engine._synthesize_stream` gives ~chunk-latency first
+audio but serves one utterance at a time. This scheduler runs the slot
+pool for token decode and, every tick, renders one windowed CFM+vocoder
+chunk per session that has a full chunk of undelivered tokens — so N
+callers each hear audio while every other session is still decoding.
+
+The reference has neither streaming nor a serving runtime (SURVEY §2.3.1
+API surface is stream=False-only; §3's entry points are per-utterance CLI
+loops) — this is a beyond-reference capability built from tested parts:
+token decode is ContinuousBatcher's (greedy parity with the one-shot
+path), and chunk rendering is the SAME `_stream_chunk` program as
+single-session streaming (seam continuity pinned by
+tests/test_streaming.py), with the mel context chained per session.
+
+Per tick: one decode-chunk program + one small token upload and one
+window render per chunk-ready session + one wav fetch each. Host traffic
+stays O(audio emitted), not O(sessions x vocab).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import SamplerConfig
+from .continuous import ContinuousBatcher
+
+_SS_KEY = "_stream_session"
+
+
+@dataclass
+class _Session:
+    req: dict
+    flow_feat: object
+    tokens: List[int] = field(default_factory=list)
+    emitted: int = 0
+    mel_ctx: Optional[jnp.ndarray] = None
+    decode_done: bool = False
+    done: bool = False
+
+
+@dataclass
+class StreamEvent:
+    """One scheduler output: kind 'chunk' carries wav samples (float32,
+    output rate); kind 'done' closes the session (wav is empty)."""
+
+    session: str
+    kind: str              # "chunk" | "done" | "error"
+    wav: np.ndarray
+    error: str = ""
+
+
+class StreamingScheduler:
+    """submit() -> session id; step() -> list of StreamEvent. Drive it from
+    a serving loop (cli/serve.py --continuous --stream): call step()
+    whenever there is work (`idle` says when there is none)."""
+
+    def __init__(
+        self,
+        engine,
+        slots: int = 4,
+        chunk_tokens: Optional[int] = None,
+        max_seconds: float = 20.0,
+        sampler: SamplerConfig = SamplerConfig(temperature=1.0, top_k=25),
+        p_max: int = 384,
+    ):
+        self.engine = engine
+        cfg = engine.cfg
+        tl = cfg.token_lm
+        # one audio chunk per decode chunk: the batcher tick IS the stream
+        # cadence (default ~0.64 s of audio, as in _synthesize_stream)
+        self.chunk = chunk_tokens or max(8, (2 * tl.token_rate) // 3)
+        self.max_new = int(max_seconds * tl.token_rate)
+        self.bat = ContinuousBatcher(
+            engine, slots=slots, chunk=self.chunk, p_max=p_max,
+            sampler=sampler, max_new=self.max_new,
+        )
+        # static token-buffer width: one compiled render program family
+        self.buf_w = -(-self.max_new // 128) * 128
+        self.up = cfg.cfm.upsample
+        self.hop = cfg.audio.hop_length
+        self.n_mels = cfg.cfm.n_mels
+        self.sessions: Dict[str, _Session] = {}
+        self._next = 0
+
+    # ------------------------------------------------------------------ intake
+
+    def submit(self, req: dict) -> str:
+        """req: {"text", "style_text", "style_feat", "flow_feat", optional
+        "max_tokens"} (the ContinuousBatcher contract). Returns session id."""
+        sid = f"s{self._next}"
+        self._next += 1
+        breq = dict(req)
+        breq[_SS_KEY] = sid
+        breq.setdefault("id", sid)
+        self.sessions[sid] = _Session(req=breq, flow_feat=req["flow_feat"])
+        self.bat.submit(breq)
+        return sid
+
+    @property
+    def idle(self) -> bool:
+        return self.bat.idle and all(s.done for s in self.sessions.values())
+
+    # ------------------------------------------------------------------ tick
+
+    def _render_next(self, sess: _Session) -> Optional[np.ndarray]:
+        """Render ONE window for this session if a chunk is due. Returns
+        float32 samples or None."""
+        n_tok = len(sess.tokens)
+        avail = n_tok - sess.emitted
+        if avail <= 0 or (avail < self.chunk and not sess.decode_done):
+            return None
+        eng = self.engine
+        dev = eng._flow_stream_dev(sess.flow_feat)
+        (fp_w, up, M), d_prompt, d_pmel, d_np, d_nmel, spk = dev
+        if sess.mel_ctx is None:
+            sess.mel_ctx = jnp.zeros((1, self.chunk * up, M), jnp.float32)
+        buf = np.zeros((1, self.buf_w), np.int32)
+        buf[0, :n_tok] = sess.tokens
+        eng.key, sub = jax.random.split(eng.key)
+        wav_c, mel_ctx, n_c, _ = eng._stream_chunk(
+            jnp.asarray(buf), jnp.int32(n_tok), jnp.int32(sess.emitted),
+            d_prompt, d_np, d_pmel, d_nmel, spk, sess.mel_ctx, sub,
+            chunk=self.chunk, fp_w=fp_w,
+        )
+        wav_np, n_c = jax.device_get((wav_c, n_c))
+        n_c = int(n_c)
+        if n_c <= 0:
+            return None
+        sess.mel_ctx = mel_ctx
+        sess.emitted += n_c
+        return wav_np[0, : n_c * up * self.hop].astype(np.float32)
+
+    def step(self) -> List[StreamEvent]:
+        """Advance decode by one chunk, then emit due audio chunks. Safe to
+        call with no active work (returns [])."""
+        events: List[StreamEvent] = []
+        if not self.bat.idle:
+            finished = self.bat.step()
+            for bad in self.bat.take_rejected():
+                sid = bad.get(_SS_KEY)
+                if sid and sid in self.sessions:
+                    self.sessions[sid].done = True
+                    self.sessions[sid].decode_done = True
+                    events.append(StreamEvent(
+                        sid, "error", np.zeros(0, np.float32),
+                        error=bad.get("error", ""),
+                    ))
+            # live slots: copy token progress into sessions
+            for slot in self.bat.slots:
+                if slot.req is not None and _SS_KEY in slot.req:
+                    sess = self.sessions.get(slot.req[_SS_KEY])
+                    if sess is not None:
+                        sess.tokens = list(slot.tokens)
+            for req in finished:
+                sess = self.sessions.get(req.get(_SS_KEY, ""))
+                if sess is not None:
+                    sess.tokens = [int(t) for t in req["tokens"]]
+                    sess.decode_done = True
+        # render at most one chunk per session per tick (stream cadence)
+        for sid, sess in self.sessions.items():
+            if sess.done:
+                continue
+            wav = self._render_next(sess)
+            if wav is not None:
+                events.append(StreamEvent(sid, "chunk", wav))
+            if sess.decode_done and sess.emitted >= len(sess.tokens):
+                sess.done = True
+                events.append(
+                    StreamEvent(sid, "done", np.zeros(0, np.float32))
+                )
+        return events
+
+    def run(self, max_ticks: int = 10_000) -> Dict[str, List[StreamEvent]]:
+        """Drive to completion; returns events grouped per session (order
+        preserved). For tests and batch use — a server calls step()."""
+        out: Dict[str, List[StreamEvent]] = {}
+        for _ in range(max_ticks):
+            if self.idle:
+                break
+            for ev in self.step():
+                out.setdefault(ev.session, []).append(ev)
+        return out
