@@ -324,6 +324,50 @@ def bench_continuous_poisson(engine, texts, style_text, style_feats,
     }
 
 
+def bench_stream_concurrent(engine, texts, style_text, style_feats,
+                            timbre_feat, n_sessions: int = 4):
+    """Concurrent streaming serving (round-3 capability): N sessions share
+    the slot-pool decode, each emits windowed chunks. Reports per-session
+    TTFB under concurrency and the wall time to drain all sessions."""
+    from autostyle_tts_tpu.pipeline.stream_serve import StreamingScheduler
+
+    def run():
+        sch = StreamingScheduler(engine, slots=n_sessions, max_seconds=5.0)
+        t0 = time.perf_counter()
+        sids = []
+        for i in range(n_sessions):
+            sids.append(sch.submit({
+                "id": i, "text": texts[i % len(texts)],
+                "style_text": style_text,
+                "style_feat": style_feats[i % len(style_feats)],
+                "flow_feat": timbre_feat, "max_tokens": 128,
+            }))
+        first = {}
+        audio = 0
+        ticks = 0
+        while not sch.idle and ticks < 10_000:
+            for ev in sch.step():
+                if ev.kind == "chunk":
+                    if ev.session not in first:
+                        first[ev.session] = time.perf_counter() - t0
+                    audio += len(ev.wav)
+            ticks += 1
+        return first, time.perf_counter() - t0, audio
+
+    run()    # warm every program (admission buckets, render windows)
+    first, wall, audio = run()
+    ttfbs = sorted(first.values())
+    sr = engine.cfg.audio.sample_rate
+    return {
+        "n_sessions": n_sessions,
+        "ttfb_first_session_s": round(ttfbs[0], 3),
+        "ttfb_last_session_s": round(ttfbs[-1], 3),
+        "wall_s": round(wall, 3),
+        "audio_s_total": round(audio / sr, 2),
+        "realtime_factor_aggregate": round(audio / sr / wall, 2),
+    }
+
+
 def bench_embedder_3b(rtt_s: float):
     """Production-scale embedder (round-2 VERDICT #4): 3B geometry, int8
     weight-only, random weights — HBM fit + the SURVEY §3.2 hot loop's
@@ -659,6 +703,9 @@ def main() -> None:
     ttfb = _section("first_chunk", _ttfb)
     if isinstance(ttfb, dict):
         ttfb = -1.0    # section failed; -1 keeps the JSON strictly valid
+    stream_conc = _section("stream_concurrent", lambda: bench_stream_concurrent(
+        engine, texts, style_text, style_feats, timbre_feat
+    ))
     retrieval = _section("retrieval", lambda: bench_retrieval(rng, rtt_s))
     if "error" in retrieval:
         retrieval = {"retrieval_error": retrieval["error"]}
@@ -684,6 +731,7 @@ def main() -> None:
                     "batch8_utt_per_s": round(batch_utt_per_s, 2),
                     "batch8_rtf": round(batch_rtf, 4),
                     "continuous_poisson": poisson,
+                    "stream_concurrent": stream_conc,
                     "int8_lm": cfg.quantize_lm_int8,
                     "int8_kv": cfg.quantize_lm_kv_int8,
                     "device": str(jax.devices()[0]),
