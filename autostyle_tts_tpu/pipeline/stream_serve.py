@@ -89,7 +89,9 @@ class StreamingScheduler:
         self.up = cfg.cfm.upsample
         self.hop = cfg.audio.hop_length
         self.n_mels = cfg.cfm.n_mels
-        self.sessions: Dict[str, _Session] = {}
+        self.sessions: Dict[str, _Session] = {}        # live
+        self.finished: Dict[str, _Session] = {}        # kept for inspection;
+        #   a long-running server should drain this (take_finished)
         self._next = 0
 
     # ------------------------------------------------------------------ intake
@@ -108,7 +110,13 @@ class StreamingScheduler:
 
     @property
     def idle(self) -> bool:
-        return self.bat.idle and all(s.done for s in self.sessions.values())
+        return self.bat.idle and not self.sessions
+
+    def take_finished(self) -> Dict[str, _Session]:
+        """Drain completed sessions (a long-running server calls this so
+        per-session state doesn't accumulate)."""
+        out, self.finished = self.finished, {}
+        return out
 
     # ------------------------------------------------------------------ tick
 
@@ -167,17 +175,20 @@ class StreamingScheduler:
                     sess.tokens = [int(t) for t in req["tokens"]]
                     sess.decode_done = True
         # render at most one chunk per session per tick (stream cadence)
-        for sid, sess in self.sessions.items():
+        for sid in list(self.sessions):
+            sess = self.sessions[sid]
+            if not sess.done:
+                wav = self._render_next(sess)
+                if wav is not None:
+                    events.append(StreamEvent(sid, "chunk", wav))
+                if sess.decode_done and sess.emitted >= len(sess.tokens):
+                    sess.done = True
+                    events.append(
+                        StreamEvent(sid, "done", np.zeros(0, np.float32))
+                    )
             if sess.done:
-                continue
-            wav = self._render_next(sess)
-            if wav is not None:
-                events.append(StreamEvent(sid, "chunk", wav))
-            if sess.decode_done and sess.emitted >= len(sess.tokens):
-                sess.done = True
-                events.append(
-                    StreamEvent(sid, "done", np.zeros(0, np.float32))
-                )
+                sess.mel_ctx = None            # free the device buffer
+                self.finished[sid] = self.sessions.pop(sid)
         return events
 
     def run(self, max_ticks: int = 10_000) -> Dict[str, List[StreamEvent]]:

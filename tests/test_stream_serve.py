@@ -53,7 +53,7 @@ def test_solo_session_matches_engine_stream(engine):
     got = np.concatenate([e.wav for e in events if e.kind == "chunk"])
 
     # reference: the engine's own streaming renderer over the SAME tokens
-    sess = sch.sessions[sid]
+    sess = sch.finished[sid]
     engine.key = jax.random.PRNGKey(123)
     # burn the decode-side key splits the scheduler did NOT do (the batcher
     # has its own key); only cfm keys came from engine.key — one per chunk
