@@ -31,7 +31,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -108,9 +108,9 @@ class ContinuousBatcher:
         # per-row home slots (one scatter per chunk, not per step)
         self.s_max = -(-(p_max + max_new + 1 + chunk) // 8) * 8
         self.n_slots = slots
-        # NOTE: continuous decode runs the scanned XLA path (B>1, per-row
-        # positions) — quantized token-LM params work (matmul_any), int8 KV
-        # cache does not (scatter path is bf16-only).
+        # NOTE: continuous decode runs token_lm.decode_chunk (unrolled
+        # layers, read-only main cache + append buffers) — quantized
+        # token-LM params work (matmul_any); the KV cache stays bf16.
         from ..models import transformer as core
 
         ccfg = token_lm.core_config(self.tl)

@@ -25,7 +25,7 @@ stays O(audio emitted), not O(sessions x vocab).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -86,9 +86,7 @@ class StreamingScheduler:
         )
         # static token-buffer width: one compiled render program family
         self.buf_w = -(-self.max_new // 128) * 128
-        self.up = cfg.cfm.upsample
         self.hop = cfg.audio.hop_length
-        self.n_mels = cfg.cfm.n_mels
         self.sessions: Dict[str, _Session] = {}        # live
         self.finished: Dict[str, _Session] = {}        # kept for inspection;
         #   a long-running server should drain this (take_finished)
