@@ -271,3 +271,29 @@ def test_sdpa_quant_matches_sdpa():
     got = sdpa_quant(q, kq, ks, vq, vs, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("kv_heads,mask_heads", [(4, 1), (2, 1), (2, 4), (1, 1)])
+def test_sdpa_decode_path_matches_einsum(kv_heads, mask_heads):
+    """T=1 native-layout decode attention (ops/attention._sdpa_decode) must
+    match the einsum formulation for MHA and GQA, with [B,1,1,S] and
+    [B,H,1,S] masks."""
+    from autostyle_tts_tpu.ops.attention import _sdpa_decode, _repeat_kv
+
+    rng = np.random.default_rng(4)
+    B, S, H, hd = 3, 40, 4, 16
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, kv_heads, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, kv_heads, hd)), jnp.float32)
+    valid = jnp.asarray(rng.random((B, mask_heads, 1, S)) > 0.3)
+    valid = valid.at[:, :, :, 0].set(True)      # at least one slot per row
+
+    got = _sdpa_decode(q, k, v, valid)
+
+    kr, vr = _repeat_kv(k, H // kv_heads), _repeat_kv(v, H // kv_heads)
+    logits = jnp.einsum(
+        "bthd,bshd->bhts", q, kr
+    ) * hd ** -0.5
+    logits = jnp.where(valid, logits, -1e30)
+    ref = jnp.einsum("bhts,bshd->bthd", jax.nn.softmax(logits, -1), vr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
