@@ -117,6 +117,35 @@ def sdpa(
     return out.astype(q.dtype)
 
 
+def _sdpa_quant_decode(q, kq, ks, vq, vs, mask):
+    """T=1 attention over the int8 KV cache WITHOUT relayouting it (the
+    einsum path transposes + f32-materializes the cache every decode step —
+    see _sdpa_decode). Per-(position, head) scales are scalar across hd, so
+    k's scale multiplies the finished dot and v's folds into the
+    probabilities; the int8 arrays stream once in native layout."""
+    B, _, H, hd = q.shape
+    S, K = kq.shape[1], kq.shape[2]
+    rep = H // K
+    qf = q.astype(jnp.float32).reshape(B, 1, K, rep, hd) * hd ** -0.5
+    lm = jnp.sum(qf * kq.astype(jnp.float32)[:, :, :, None, :], -1)
+    lm = lm * ks[..., None]                               # [B, S, K, rep]
+    if mask is not None:
+        m = mask[:, :, 0, :]
+        if m.shape[1] == 1:
+            m = m[:, 0, :, None, None]
+        else:
+            m = m.reshape(B, K, rep, S).transpose(0, 3, 1, 2)
+        lm = jnp.where(m, lm, NEG_INF)
+    mx = jnp.max(lm, axis=1, keepdims=True)
+    p = jnp.exp(lm - mx)
+    denom = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+    pv = p * vs[..., None]                                # fold v scales
+    out = jnp.sum(
+        pv[..., None] * vq.astype(jnp.float32)[:, :, :, None, :], axis=1
+    ) / denom[:, 0, :, :, None]
+    return out.reshape(B, 1, H, hd).astype(q.dtype)
+
+
 def sdpa_quant(
     q: jnp.ndarray,                       # [B, T, H, hd]
     kq: jnp.ndarray,                      # [B, S, K, hd] int8
@@ -133,7 +162,10 @@ def sdpa_quant(
     k's scale applies to the LOGITS after the q·k dot and v's scale folds
     into the probabilities before the p·v dot — two [*, S]-shaped
     multiplies instead of re-scaling [S, hd] tensors. Halves decode-step
-    cache traffic vs bf16."""
+    cache traffic vs bf16. T=1 takes the native-layout elementwise path
+    (no cache transpose)."""
+    if q.shape[1] == 1 and kq.shape[1] > 1:
+        return _sdpa_quant_decode(q, kq, ks, vq, vs, mask)
     h, kh = q.shape[2], kq.shape[2]
     rep = h // kh
     kq = _repeat_kv(kq, rep)

@@ -297,3 +297,34 @@ def test_sdpa_decode_path_matches_einsum(kv_heads, mask_heads):
     logits = jnp.where(valid, logits, -1e30)
     ref = jnp.einsum("bhts,bshd->bthd", jax.nn.softmax(logits, -1), vr)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("kv_heads", [4, 2])
+def test_sdpa_quant_decode_path_matches_einsum(kv_heads):
+    """T=1 native-layout int8-KV attention must match the einsum
+    formulation of sdpa_quant (scales folded identically)."""
+    from autostyle_tts_tpu.ops.attention import (
+        _repeat_kv, _sdpa_quant_decode, quantize_kv,
+    )
+
+    rng = np.random.default_rng(5)
+    B, S, H, hd = 2, 24, 4, 16
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, kv_heads, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, kv_heads, hd)), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    mask = jnp.asarray(rng.random((B, 1, 1, S)) > 0.3).at[:, :, :, 0].set(True)
+
+    got = _sdpa_quant_decode(q, kq, ks, vq, vs, mask)
+
+    rep = H // kv_heads
+    kr = _repeat_kv(kq, rep).astype(jnp.float32)
+    vr = _repeat_kv(vq, rep).astype(jnp.float32)
+    ks_h = jnp.repeat(ks, rep, axis=2).transpose(0, 2, 1)[:, :, None, :]
+    vs_h = jnp.repeat(vs, rep, axis=2).transpose(0, 2, 1)[:, :, None, :]
+    logits = jnp.einsum("bthd,bshd->bhts", q, kr) * (hd ** -0.5 * ks_h)
+    logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, -1) * vs_h
+    ref = jnp.einsum("bhts,bshd->bthd", probs, vr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
