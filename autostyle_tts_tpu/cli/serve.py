@@ -92,7 +92,12 @@ def _serve_streaming(args, engine, stream, result_dir, prompt_of, out_sr):
         return req
 
     def try_read(block: bool) -> bool:
-        while True:
+        """Read request lines; returns False on EOF. Bounded per tick: a
+        FILE input would otherwise featurize every request up front (each a
+        device round-trip) before the first scheduler step — sessions must
+        start streaming while later requests are still on disk."""
+        taken = 0
+        while taken < args.slots:
             if stream is sys.stdin and not block:
                 r, _, _ = select.select([stream], [], [], 0)
                 if not r:
@@ -104,6 +109,7 @@ def _serve_streaming(args, engine, stream, result_dir, prompt_of, out_sr):
             line = line.strip()
             if not line:
                 continue
+            taken += 1
             try:
                 req = featurize_req(json.loads(line))
                 sid = sch.submit(req)
@@ -113,6 +119,7 @@ def _serve_streaming(args, engine, stream, result_dir, prompt_of, out_sr):
                 }
             except Exception as e:
                 print(json.dumps({"error": str(e)}), flush=True)
+        return True
 
     served = 0
     eof = False
@@ -265,10 +272,13 @@ def main(argv=None) -> None:
 
         def try_read(block: bool) -> bool:
             """Read request lines; returns False on EOF. Non-blocking when
-            decode work is in flight (stdin polled via select)."""
+            decode work is in flight (stdin polled via select), and bounded
+            per tick so a FILE input doesn't featurize the whole file before
+            the first decode step runs."""
             import select
 
-            while True:
+            taken = 0
+            while taken < args.slots:
                 if stream is sys.stdin and not block:
                     r, _, _ = select.select([stream], [], [], 0)
                     if not r:
@@ -280,10 +290,12 @@ def main(argv=None) -> None:
                 line = line.strip()
                 if not line:
                     continue
+                taken += 1
                 try:
                     batcher.submit(featurize_req(json.loads(line)))
                 except Exception as e:
                     print(json.dumps({"error": str(e)}), flush=True)
+            return True
 
         eof = False
         try:

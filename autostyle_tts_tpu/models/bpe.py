@@ -221,6 +221,14 @@ class BPETokenizer:
     @classmethod
     def load(cls, path) -> "BPETokenizer":
         payload = json.loads(Path(path).read_text(encoding="utf-8"))
+        version = int(payload.get("version", 1))
+        if version > 2:
+            # fail loudly instead of silently dropping fields a newer
+            # format may carry (token streams would corrupt on decode)
+            raise ValueError(
+                f"vocab {path}: unsupported version {version} (reader "
+                f"understands <= 2); upgrade the package to load it"
+            )
         merges = [
             (a.encode("latin-1"), b.encode("latin-1"))
             for a, b in payload["merges"]
@@ -250,20 +258,49 @@ class BPETokenizer:
         return out
 
     def _merge_zh_run(self, run: List[int]) -> List[int]:
-        """Apply learned zh merges (lowest rank first) to a plane-id run."""
-        if not self.zh_ranks:
-            return run
+        """Apply learned zh merges (lowest rank, leftmost occurrence first)
+        to a plane-id run. Linked list + lazy heap: O(n log n) — a full
+        rescan per merge is O(n^2) and long unbroken CJK passages hit the
+        embedder tokenizer on the request path."""
+        if not self.zh_ranks or len(run) < 2:
+            return list(run)
+        import heapq
+
         parts = list(run)
-        while len(parts) > 1:
-            best_rank, best_i = None, -1
-            for i in range(len(parts) - 1):
-                r = self.zh_ranks.get((parts[i], parts[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_rank is None:
-                break
-            parts[best_i : best_i + 2] = [self.zh_id_of_rank[best_rank]]
-        return parts
+        n = len(parts)
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        alive = [True] * n
+        heap = [
+            (r, i) for i in range(n - 1)
+            if (r := self.zh_ranks.get((parts[i], parts[i + 1]))) is not None
+        ]
+        heapq.heapify(heap)
+        while heap:
+            r, i = heapq.heappop(heap)
+            if not alive[i]:
+                continue
+            j = nxt[i]
+            # stale entry: the pair at i changed since it was pushed (ranks
+            # are unique per pair, so an equal rank means the same pair)
+            if j == -1 or self.zh_ranks.get((parts[i], parts[j])) != r:
+                continue
+            parts[i] = self.zh_id_of_rank[r]
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] != -1:
+                prv[nxt[j]] = i
+            p = prv[i]
+            if p != -1:
+                rp = self.zh_ranks.get((parts[p], parts[i]))
+                if rp is not None:
+                    heapq.heappush(heap, (rp, p))
+            j2 = nxt[i]
+            if j2 != -1:
+                rn = self.zh_ranks.get((parts[i], parts[j2]))
+                if rn is not None:
+                    heapq.heappush(heap, (rn, i))
+        return [t for t, a in zip(parts, alive) if a]
 
     def encode_segment(self, text: str) -> List[int]:
         """Plain text (no tags) -> ids. CJK/kana chars map to plane ids then

@@ -142,7 +142,9 @@ class ContinuousBatcher:
         )
         sty = np.asarray(req["style_feat"].tokens, np.int32)
         spk = np.asarray(req["flow_feat"].spk, np.float32)
-        raw_p = 1 + len(ids) + 1 + len(sty)
+        # admission widths give an empty style prompt one pad row (arrays
+        # can't be zero-width), so validate against the width actually built
+        raw_p = 1 + len(ids) + 1 + max(len(sty), 1)
         if raw_p > self.p_max:
             raise ValueError(
                 f"prefix {raw_p} > p_max {self.p_max} "
@@ -183,10 +185,12 @@ class ContinuousBatcher:
             return
         w_s = -(-max(max(len(it[3]) for it in items), 1) // 64) * 64
         w_t = self.p_max - 2 - w_s
-        overflow = [it for it in items if len(it[2]) > w_t or w_t <= 0]
-        for it in overflow:
+        over = {i for i, it in enumerate(items)
+                if len(it[2]) > w_t or w_t <= 0}
+        for i in over:
+            it = items[i]
             self._admit_rows([it], len(it[2]), max(len(it[3]), 1))
-        items = [it for it in items if it not in overflow]
+        items = [it for i, it in enumerate(items) if i not in over]
         if items:
             self._admit_rows(items, w_t, w_s)
 

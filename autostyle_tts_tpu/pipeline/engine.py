@@ -542,6 +542,24 @@ class Engine:
             )
         return self._mega_params
 
+    def _stream_decode_params(self, p_pad: int, first_new: int, max_new: int):
+        """Decode params for the streaming (first-chunk, full-length) LM
+        pair. Both runs share one RNG key and the chunk chain replays the
+        full run's tokens after the first chunk was already PLAYED — so both
+        MUST resolve to the same decode implementation (the megakernel
+        samples in-kernel with a different RNG stream than the scanned
+        jax.random path). A long prompt can push only the larger gen bucket
+        off the megakernel's VMEM cache gate; in that case force BOTH runs
+        onto the scanned path."""
+        shape = (1, p_pad, self.cfg.token_lm.dim)
+        dp_first = self._fused_decode_params(shape, first_new)
+        if max_new <= first_new:
+            return dp_first, dp_first
+        dp_full = self._fused_decode_params(shape, max_new)
+        if (dp_first is None) != (dp_full is None):
+            return None, None
+        return dp_first, dp_full
+
     # ------------------------------------------------------------------ core synthesis
 
     def _synthesize(
@@ -752,7 +770,7 @@ class Engine:
         kv8 = getattr(self.cfg, "quantize_lm_kv_int8", False)
         p_raw = 1 + d_text.shape[1] + 1 + sty_w
         p_pad = -(-p_raw // 128) * 128
-        dp_first = self._fused_decode_params((1, p_pad, tl.dim), first_new)
+        dp_first, dp_full = self._stream_decode_params(p_pad, first_new, max_new)
         with self.watch.span("stream_first"):
             first = self._stream_first(
                 d_text, d_tl, d_sty, d_sl, d_prompt, d_np, d_pmel, d_nmel,
@@ -764,7 +782,6 @@ class Engine:
             # key -> same leading tokens); don't block on it
             gen_full = None
             if max_new > first_new:
-                dp_full = self._fused_decode_params((1, p_pad, tl.dim), max_new)
                 gen_full = token_lm.generate_speech_from_ids(
                     self.params.token_lm, tl, d_text, d_tl, d_sty, d_sl,
                     spk, key_lm, max_new_tokens=max_new, kv_int8=kv8,

@@ -41,9 +41,12 @@ class Stopwatch:
         # fetch blocks until every producer has run.
         import jax.numpy as jnp
 
+        # Only DEVICE arrays: jnp.sum on a host numpy leaf would upload it
+        # (a transfer + compile the production path never pays), billing
+        # the span for work the profiler itself created.
         sums = [
             jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(values)
-            if hasattr(leaf, "dtype")
+            if isinstance(leaf, jax.Array)
         ]
         if sums:
             jax.device_get(sums)

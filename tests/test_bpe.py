@@ -210,3 +210,48 @@ def test_shipped_multilingual_vocab():
     ids_en = tok.encode_segment(en)
     assert tok.decode_segment(ids_en) == en
     assert len(ids_en) < len(en.encode("utf-8"))
+
+
+def test_zh_merge_heap_matches_quadratic_reference():
+    """_merge_zh_run moved to a linked-list+heap (O(n log n)); it must pick
+    the same (lowest-rank, leftmost) merge sequence as the straightforward
+    full-rescan-per-merge implementation it replaced."""
+    from autostyle_tts_tpu.models.bpe import CJK_BASE, BPETokenizer, train_bpe_zh
+
+    rng = np.random.default_rng(7)
+    corpus = [
+        "".join(chr(0x4E00 + int(c)) for c in rng.integers(0, 6, 40))
+        for _ in range(50)
+    ]
+    zh = train_bpe_zh(corpus, n_merges=48)
+    tok = BPETokenizer([], zh)
+    assert len(tok.zh_merges) > 8
+
+    def quadratic(run):
+        parts = list(run)
+        while len(parts) > 1:
+            best, bi = None, -1
+            for i in range(len(parts) - 1):
+                r = tok.zh_ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            parts[bi : bi + 2] = [tok.zh_id_of_rank[best]]
+        return parts
+
+    for _ in range(200):
+        n = int(rng.integers(2, 60))
+        run = [CJK_BASE + int(x) for x in rng.integers(0, 6, n)]
+        assert tok._merge_zh_run(run) == quadratic(run)
+
+
+def test_vocab_version_gate(tmp_path):
+    """A vocab written by a NEWER format version must fail loudly, not load
+    partially (silently dropping fields corrupts decoded text)."""
+    import json as _json
+
+    p = tmp_path / "future.json"
+    p.write_text(_json.dumps({"version": 3, "merges": []}))
+    with pytest.raises(ValueError, match="version"):
+        BPETokenizer.load(p)

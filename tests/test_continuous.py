@@ -108,3 +108,51 @@ def test_serve_continuous_cli(tmp_path, capsys):
         assert by_id[rid]["samples"] > 0
     done = [l for l in lines if l.get("done")]
     assert done and done[0]["served"] == 2
+
+
+def test_continuous_empty_style_at_exact_pmax_rejected():
+    """Empty style prompts occupy one pad row at admission (arrays can't be
+    zero-width), so a request whose raw prefix exactly fills p_max must be
+    REJECTED with an error — not admitted into a 2*p_max prefix whose decode
+    window is empty (round-3 review finding)."""
+    import dataclasses
+
+    from autostyle_tts_tpu.models import frontend
+
+    eng = _engine()
+    feat = eng.prompt_features([_wav(seed=4)])[0]
+    empty = dataclasses.replace(feat, tokens=np.zeros((0,), np.int32))
+    text = "hello there"
+    ids = frontend.encode(text, tokenizer=eng.text_tokenizer,
+                          numbers=eng.normalize_numbers)
+    p_max = 2 + len(ids)          # old validation passed at exactly p_max
+    bat = ContinuousBatcher(
+        eng, slots=2, chunk=4, p_max=p_max,
+        sampler=SamplerConfig(greedy=True), max_new=8,
+    )
+    bat.submit({"id": "edge", "text": text, "style_text": "",
+                "style_feat": empty, "flow_feat": feat})
+    finished = bat.step()
+    assert finished == []
+    rej = bat.take_rejected()
+    assert len(rej) == 1 and "p_max" in rej[0]["error"]
+    assert bat.idle
+
+
+def test_continuous_empty_style_with_headroom_finishes():
+    """An empty style prompt WITH prefix headroom admits and decodes
+    normally through the pad-row widening."""
+    import dataclasses
+
+    eng = _engine()
+    feat = eng.prompt_features([_wav(seed=5)])[0]
+    empty = dataclasses.replace(feat, tokens=np.zeros((0,), np.int32))
+    bat = ContinuousBatcher(
+        eng, slots=2, chunk=4, p_max=64,
+        sampler=SamplerConfig(greedy=True), max_new=8,
+    )
+    bat.submit({"id": "ok", "text": "hello", "style_text": "",
+                "style_feat": empty, "flow_feat": feat})
+    done = bat.drain()
+    assert len(done) == 1 and done[0]["id"] == "ok"
+    assert len(done[0]["tokens"]) >= 1

@@ -110,3 +110,32 @@ def test_lm_bucket_prefix_determinism(engine):
         outs[mn] = (np.asarray(g.tokens)[0], int(g.lengths[0]))
     n = min(64, outs[64][1] + 1, outs[128][1] + 1)
     np.testing.assert_array_equal(outs[64][0][:n], outs[128][0][:n])
+
+
+def test_stream_decode_params_same_impl_for_both_runs(engine):
+    """The first-chunk LM and the async full-length LM share one key and the
+    chunk chain replays the full run's tokens after chunk 1 already played —
+    so both must resolve to the SAME decode implementation. A long prompt
+    can push only the larger bucket off the megakernel; then BOTH must fall
+    back to the scanned path (round-3 review finding)."""
+    sentinel = object()
+
+    # larger bucket falls off the fused gate -> both scanned
+    engine._fused_decode_params = lambda shape, mn: (
+        sentinel if mn <= 32 else None
+    )
+    a, b = engine._stream_decode_params(128, 32, 128)
+    assert a is None and b is None
+
+    # both buckets fused -> both fused
+    engine._fused_decode_params = lambda shape, mn: sentinel
+    a, b = engine._stream_decode_params(128, 32, 128)
+    assert a is sentinel and b is sentinel
+
+    # no full run needed -> first bucket decides alone
+    engine._fused_decode_params = lambda shape, mn: (
+        sentinel if mn <= 32 else None
+    )
+    a, b = engine._stream_decode_params(128, 32, 32)
+    assert a is sentinel and b is sentinel
+    del engine._fused_decode_params   # restore the class method
