@@ -70,6 +70,38 @@ def main(argv=None) -> None:
             raise SystemExit(
                 f"{artifact}: unmapped tensors: {report.unmapped_src[:10]}..."
             )
+    # campplus.onnx converts by GRAPH, not by rule table (its D-TDNN
+    # initializer names are not blind-reconstructible): the node graph is
+    # carried verbatim into the snapshot and executed op-for-op on the TPU
+    # by ops/onnx_exec (models/compat/campplus.py).
+    camp_path = Path(args.model_dir) / "campplus.onnx"
+    if camp_path.exists():
+        import numpy as np
+
+        from ..ops import onnx_exec
+        from ..utils.onnx_load import load_onnx_graph
+
+        raw_bytes = camp_path.read_bytes()
+        graph = load_onnx_graph(raw_bytes)
+        bad = onnx_exec.unsupported_ops(graph)
+        reports["campplus.onnx"] = {
+            "mode": "graph-executed",
+            "ops": onnx_exec.op_histogram(graph),
+            "unsupported_ops": bad,
+            "n_initializers": len(graph.initializers),
+            "inputs": graph.inputs, "outputs": graph.outputs,
+        }
+        print(f"campplus.onnx: graph-executed, {len(graph.nodes)} nodes, "
+              f"unsupported={bad or 'none'}")
+        if args.strict and bad:
+            raise SystemExit(
+                f"campplus.onnx: unsupported ops {bad} — extend "
+                f"ops/onnx_exec.OPS"
+            )
+        if not bad:
+            trees["campplus.onnx"] = {
+                "__onnx__": np.frombuffer(raw_bytes, np.uint8)
+            }
     if args.report_json:
         Path(args.report_json).write_text(json.dumps(reports, indent=2))
     if not reports:

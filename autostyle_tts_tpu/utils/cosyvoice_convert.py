@@ -441,10 +441,11 @@ def _s3_tokenizer_rules() -> List[Rule]:
     names); the quantizer codebook key is covered under several plausible
     spellings. Confidence: high for the encoder (whisper naming is
     standard), lower for the codebook — the coverage report flags either
-    way. campplus.onnx stays ingestion-only (docs/WEIGHTS.md: the D-TDNN
-    export's initializer names are not reconstructible blind, and a
-    wrong-named table would be noise; the native speaker encoder remains
-    the 192-d home)."""
+    way. campplus.onnx has NO rule table by design: the D-TDNN export's
+    initializer names are not reconstructible blind, so the convert CLI
+    carries its node graph verbatim into the snapshot and
+    models/compat/campplus.py executes it via ops/onnx_exec (one jitted
+    XLA program, zero name assumptions)."""
     e = r"(?:encoder\.)?blocks\.(\d+)\."
     d = "blocks/"
     rules = [

@@ -351,10 +351,81 @@ def build_tokenizer_onnx(g: SynthGeometry, seed: int = 3) -> Dict:
     return sd
 
 
+def build_campplus_onnx(g: SynthGeometry, seed: int = 4) -> bytes:
+    """CAM++-shaped speaker-embedding GRAPH (not just tensors): conv1d
+    front-end -> dilated D-TDNN-ish block -> context gate (the CAM flavor:
+    global pooled stats gate the trunk) -> mean‖std stats pooling -> linear
+    to the x-vector. campplus.onnx is served by GRAPH EXECUTION
+    (ops/onnx_exec — its initializer names are not blind-reconstructible
+    into a rule table), so this fixture carries real NodeProtos; the
+    executor must run it regardless of what any tensor is called."""
+    import numpy as np
+
+    from .onnx_load import OnnxNode, write_onnx_model
+
+    rng = np.random.default_rng(seed)
+    C = g.hift_channels
+    E = g.spk_dim                      # engine-coherent x-vector width
+
+    def t(*shape, scale=0.3):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    tensors = {
+        "tdnn1.weight": t(C, 80, 5), "tdnn1.bias": t(C),
+        "bn1.scale": np.abs(t(C)) + 0.5, "bn1.bias": t(C),
+        "bn1.mean": t(C), "bn1.var": np.abs(t(C)) + 0.5,
+        "tdnn2.weight": t(C, C, 3), "tdnn2.bias": t(C),
+        "bn2.scale": np.abs(t(C)) + 0.5, "bn2.bias": t(C),
+        "bn2.mean": t(C), "bn2.var": np.abs(t(C)) + 0.5,
+        "gate.weight": t(C, C, 1), "gate.bias": t(C),
+        "eps": np.asarray(1e-5, np.float32),
+        "mean_axes": np.asarray([2], np.int64),
+        "fc.weight": t(2 * C, E), "fc.bias": t(E),
+    }
+    N = OnnxNode
+    nodes = [
+        N("Transpose", ["fbank"], ["x"], attrs={"perm": [0, 2, 1]}),
+        N("Conv", ["x", "tdnn1.weight", "tdnn1.bias"], ["c1"],
+          attrs={"kernel_shape": [5], "pads": [2, 2], "strides": [1],
+                 "dilations": [1], "group": 1}),
+        N("BatchNormalization",
+          ["c1", "bn1.scale", "bn1.bias", "bn1.mean", "bn1.var"], ["b1"],
+          attrs={"epsilon": 1e-5}),
+        N("Relu", ["b1"], ["r1"]),
+        N("Conv", ["r1", "tdnn2.weight", "tdnn2.bias"], ["c2"],
+          attrs={"kernel_shape": [3], "pads": [2, 2], "strides": [1],
+                 "dilations": [2], "group": 1}),
+        N("BatchNormalization",
+          ["c2", "bn2.scale", "bn2.bias", "bn2.mean", "bn2.var"], ["b2"],
+          attrs={"epsilon": 1e-5}),
+        N("Relu", ["b2"], ["r2"]),
+        # context-aware gate
+        N("GlobalAveragePool", ["r2"], ["ctx"]),
+        N("Conv", ["ctx", "gate.weight", "gate.bias"], ["gpre"],
+          attrs={"kernel_shape": [1], "pads": [0, 0], "strides": [1],
+                 "dilations": [1], "group": 1}),
+        N("Sigmoid", ["gpre"], ["gsig"]),
+        N("Mul", ["r2", "gsig"], ["h"]),
+        # stats pooling: mean ‖ std over time
+        N("ReduceMean", ["h", "mean_axes"], ["mu"], attrs={"keepdims": 1}),
+        N("Sub", ["h", "mu"], ["hc"]),
+        N("Mul", ["hc", "hc"], ["hc2"]),
+        N("ReduceMean", ["hc2", "mean_axes"], ["var"],
+          attrs={"keepdims": 0}),
+        N("Add", ["var", "eps"], ["vare"]),
+        N("Sqrt", ["vare"], ["sd"]),
+        N("Squeeze", ["mu", "mean_axes"], ["mu2"]),
+        N("Concat", ["mu2", "sd"], ["stats"], attrs={"axis": 1}),
+        N("Gemm", ["stats", "fc.weight", "fc.bias"], ["embedding"],
+          attrs={"alpha": 1.0, "beta": 1.0}),
+    ]
+    return write_onnx_model(None, tensors, nodes, ["fbank"], ["embedding"])
+
+
 def build_release_dir(path, g: SynthGeometry = SynthGeometry(),
                       seed: int = 0) -> Path:
-    """Write llm.pt / flow.pt / hift.pt / speech_tokenizer_v1.onnx into
-    `path` (upstream key space)."""
+    """Write llm.pt / flow.pt / hift.pt / speech_tokenizer_v1.onnx /
+    campplus.onnx into `path` (upstream key space)."""
     import torch
 
     from .onnx_load import write_onnx_tensors
@@ -367,4 +438,5 @@ def build_release_dir(path, g: SynthGeometry = SynthGeometry(),
     write_onnx_tensors(
         d / "speech_tokenizer_v1.onnx", build_tokenizer_onnx(g, seed + 3)
     )
+    (d / "campplus.onnx").write_bytes(build_campplus_onnx(g, seed + 4))
     return d

@@ -1,0 +1,234 @@
+"""ONNX graph execution (ops/onnx_exec) + the graph-served campplus compat.
+
+The reference ran campplus.onnx under ONNX Runtime (SURVEY §2.3.1 "Speaker
+embedding"); here the graph itself is traced into one jitted XLA program —
+no name-keyed conversion — so these tests pin the executor's op semantics
+against independent numpy references and run the CAM++-shaped synthetic
+export end to end through the convert CLI into CosyEngine."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autostyle_tts_tpu.ops import onnx_exec
+from autostyle_tts_tpu.utils.onnx_load import (
+    OnnxNode, load_onnx_graph, write_onnx_model,
+)
+
+
+def _graph(tensors, nodes, inputs, outputs):
+    """Round-trip through the wire format so the parser is always in play."""
+    return load_onnx_graph(write_onnx_model(None, tensors, nodes, inputs,
+                                            outputs))
+
+
+def test_wire_roundtrip_nodes_and_attrs():
+    nodes = [
+        OnnxNode("Conv", ["x", "w"], ["y"], name="c0",
+                 attrs={"kernel_shape": [3], "pads": [1, 1], "strides": [2],
+                        "dilations": [1], "group": 1, "alpha": 0.5,
+                        "mode": "constant"}),
+    ]
+    w = np.ones((2, 3, 3), np.float32)
+    g = _graph({"w": w}, nodes, ["x"], ["y"])
+    assert [n.op_type for n in g.nodes] == ["Conv"]
+    n = g.nodes[0]
+    assert n.inputs == ["x", "w"] and n.outputs == ["y"] and n.name == "c0"
+    assert n.attrs["kernel_shape"] == [3]
+    assert n.attrs["pads"] == [1, 1]
+    assert abs(n.attrs["alpha"] - 0.5) < 1e-7
+    assert n.attrs["mode"] == "constant"
+    assert g.inputs == ["x"] and g.outputs == ["y"]
+    np.testing.assert_array_equal(g.initializers["w"], w)
+
+
+def test_exec_mlp_matches_numpy():
+    rng = np.random.default_rng(0)
+    W1 = rng.standard_normal((6, 10)).astype(np.float32)   # Gemm transB
+    b1 = rng.standard_normal(10).astype(np.float32)
+    W2 = rng.standard_normal((10, 3)).astype(np.float32)
+    nodes = [
+        OnnxNode("Gemm", ["x", "W1", "b1"], ["h"],
+                 attrs={"alpha": 1.0, "beta": 1.0, "transB": 0}),
+        OnnxNode("Relu", ["h"], ["r"]),
+        OnnxNode("MatMul", ["r", "W2"], ["m"]),
+        OnnxNode("Softmax", ["m"], ["y"], attrs={"axis": -1}),
+    ]
+    g = _graph({"W1": W1, "b1": b1, "W2": W2}, nodes, ["x"], ["y"])
+    assert onnx_exec.unsupported_ops(g) == []
+    x = rng.standard_normal((4, 6)).astype(np.float32)
+    y = np.asarray(onnx_exec.OnnxRunner(g)({"x": x})[0])
+    h = np.maximum(x @ W1 + b1, 0) @ W2
+    ref = np.exp(h - h.max(-1, keepdims=True))
+    ref /= ref.sum(-1, keepdims=True)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_exec_conv2d_pool_matches_numpy():
+    rng = np.random.default_rng(1)
+    W = rng.standard_normal((3, 2, 3, 3)).astype(np.float32)
+    b = rng.standard_normal(3).astype(np.float32)
+    nodes = [
+        OnnxNode("Conv", ["x", "W", "b"], ["c"],
+                 attrs={"kernel_shape": [3, 3], "pads": [1, 1, 1, 1],
+                        "strides": [1, 1], "dilations": [1, 1], "group": 1}),
+        OnnxNode("Relu", ["c"], ["r"]),
+        OnnxNode("MaxPool", ["r"], ["p"],
+                 attrs={"kernel_shape": [2, 2], "strides": [2, 2],
+                        "pads": [0, 0, 0, 0]}),
+        OnnxNode("GlobalAveragePool", ["p"], ["gap"]),
+    ]
+    g = _graph({"W": W, "b": b}, nodes, ["x"], ["gap"])
+    x = rng.standard_normal((1, 2, 6, 6)).astype(np.float32)
+    out = np.asarray(onnx_exec.OnnxRunner(g)({"x": x})[0])
+
+    xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    c = np.zeros((1, 3, 6, 6), np.float32)
+    for o in range(3):
+        for i0 in range(6):
+            for j0 in range(6):
+                c[0, o, i0, j0] = (xp[0, :, i0:i0 + 3, j0:j0 + 3] * W[o]).sum()
+    c += b[None, :, None, None]
+    r = np.maximum(c, 0)
+    p = r.reshape(1, 3, 3, 2, 3, 2).max(axis=(3, 5))
+    ref = p.mean(axis=(2, 3), keepdims=True)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_exec_static_shape_plumbing_compiles():
+    """Shape -> Gather -> Concat -> Reshape chains must stay compile-time
+    static (the torch-export flatten idiom); the whole graph jits."""
+    rng = np.random.default_rng(2)
+    W = rng.standard_normal((12, 5)).astype(np.float32)
+    nodes = [
+        OnnxNode("Shape", ["x"], ["shp"]),
+        OnnxNode("Gather", ["shp", "zero"], ["b"], attrs={"axis": 0}),
+        OnnxNode("Unsqueeze", ["b", "zero_l"], ["b1"]),
+        OnnxNode("Concat", ["b1", "minus1"], ["tgt"], attrs={"axis": 0}),
+        OnnxNode("Reshape", ["x", "tgt"], ["flat"]),
+        OnnxNode("MatMul", ["flat", "W"], ["y"]),
+    ]
+    tensors = {
+        "W": W,
+        "zero": np.asarray(0, np.int64),
+        "zero_l": np.asarray([0], np.int64),
+        "minus1": np.asarray([-1], np.int64),
+    }
+    g = _graph(tensors, nodes, ["x"], ["y"])
+    x = rng.standard_normal((3, 4, 3)).astype(np.float32)
+    y = np.asarray(onnx_exec.OnnxRunner(g)({"x": x})[0])
+    np.testing.assert_allclose(y, x.reshape(3, 12) @ W, rtol=1e-5, atol=1e-6)
+
+
+def test_exec_unsupported_op_reported():
+    g = _graph({}, [OnnxNode("LSTM", ["x"], ["y"])], ["x"], ["y"])
+    assert onnx_exec.unsupported_ops(g) == ["LSTM"]
+    with pytest.raises(NotImplementedError, match="LSTM"):
+        onnx_exec.OnnxRunner(g)
+
+
+def test_campplus_fixture_matches_numpy_reference():
+    """The CAM++-shaped synthetic graph executes to the same numbers as an
+    independent numpy roll-out of its architecture."""
+    from autostyle_tts_tpu.utils.synth_release import (
+        SynthGeometry, build_campplus_onnx,
+    )
+
+    geo = SynthGeometry()
+    g = load_onnx_graph(build_campplus_onnx(geo))
+    assert onnx_exec.unsupported_ops(g) == []
+    t = g.initializers
+    rng = np.random.default_rng(3)
+    feat = rng.standard_normal((1, 24, 80)).astype(np.float32)
+    out = np.asarray(onnx_exec.OnnxRunner(g)({g.inputs[0]: feat})[0])
+
+    def conv1d(x, w, b, pad, dil=1):
+        k = w.shape[2]
+        xp = np.pad(x, ((0, 0), (0, 0), (pad, pad)))
+        span = (k - 1) * dil + 1
+        T = xp.shape[2] - span + 1
+        y = np.zeros((1, w.shape[0], T), np.float32)
+        for o in range(w.shape[0]):
+            for tt in range(T):
+                y[0, o, tt] = (
+                    xp[0, :, tt : tt + span : dil] * w[o]
+                ).sum() + b[o]
+        return y
+
+    def bn(x, p):
+        return ((x - t[f"{p}.mean"][None, :, None])
+                * (t[f"{p}.scale"]
+                   / np.sqrt(t[f"{p}.var"] + 1e-5))[None, :, None]
+                + t[f"{p}.bias"][None, :, None])
+
+    x = np.transpose(feat, (0, 2, 1))
+    r1 = np.maximum(bn(conv1d(x, t["tdnn1.weight"], t["tdnn1.bias"], 2),
+                       "bn1"), 0)
+    r2 = np.maximum(bn(conv1d(r1, t["tdnn2.weight"], t["tdnn2.bias"], 2,
+                              dil=2), "bn2"), 0)
+    ctx = r2.mean(axis=2, keepdims=True)
+    gate = 1.0 / (1.0 + np.exp(-(
+        conv1d(ctx, t["gate.weight"], t["gate.bias"], 0))))
+    h = r2 * gate
+    mu = h.mean(axis=2)
+    sd = np.sqrt(((h - mu[:, :, None]) ** 2).mean(axis=2) + 1e-5)
+    ref = np.concatenate([mu, sd], axis=1) @ t["fc.weight"] + t["fc.bias"]
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_kaldi_fbank_shapes_and_cmn():
+    from autostyle_tts_tpu.models.compat.campplus import kaldi_fbank
+
+    wav = (0.3 * np.sin(2 * np.pi * 220 * np.arange(8000) / 16000)).astype(
+        np.float32
+    )
+    feat = np.asarray(kaldi_fbank(jnp.asarray(wav)))
+    assert feat.shape == (1 + (8000 - 400) // 160, 80)
+    assert np.isfinite(feat).all()
+    # mean-normalized over time (the upstream frontend's CMN)
+    np.testing.assert_allclose(feat.mean(axis=0), 0.0, atol=1e-4)
+
+
+def test_convert_cli_campplus_graph_and_engine_embedding(tmp_path):
+    """End to end: synthetic release dir (with campplus.onnx nodes) ->
+    convert CLI --strict -> snapshot -> CosyEngine.embed_speaker_wav16."""
+    from autostyle_tts_tpu.cli.convert_cosyvoice import main
+    from autostyle_tts_tpu.models.compat.engine import CosyEngine
+    from autostyle_tts_tpu.utils.synth_release import (
+        SynthGeometry, build_release_dir,
+    )
+
+    geo = SynthGeometry()
+    release = build_release_dir(tmp_path / "rel", geo)
+    snap = tmp_path / "engine.npz"
+    report = tmp_path / "report.json"
+    main(["--model_dir", str(release), "--strict",
+          "--report_json", str(report), "--output", str(snap)])
+    rep = json.loads(report.read_text())
+    assert rep["campplus.onnx"]["mode"] == "graph-executed"
+    assert rep["campplus.onnx"]["unsupported_ops"] == []
+
+    eng = CosyEngine.load(snap, n_steps=2)
+    wav = (0.3 * np.sin(2 * np.pi * 180 * np.arange(8000) / 16000)).astype(
+        np.float32
+    )
+    emb = eng.embed_speaker_wav16(wav)
+    assert emb.shape == (geo.spk_dim,)
+    assert np.isfinite(emb).all()
+    # bucketed path compiles a padded variant and stays close
+    emb_b = eng.embed_speaker_wav16(wav, bucket=True)
+    assert emb_b.shape == (geo.spk_dim,)
+    assert np.isfinite(emb_b).all()
+    # the x-vector feeds the full synthesis contract
+    toks = eng.tokenize_wav16(wav)
+    out = next(eng.inference_tts_with_st(
+        text_ids=np.array([3, 1, 4], np.int32),
+        style_tokens=toks[:3] if len(toks) >= 3 else np.array([1], np.int32),
+        timbre_tokens=np.array([5, 3], np.int32),
+        timbre_mel=np.zeros((4, geo.n_mels), np.float32),
+        spk=emb, max_new=8,
+    ))
+    assert np.isfinite(out["tts_speech"]).all()
