@@ -459,6 +459,203 @@ def generate_speech_from_ids(
     )
 
 
+# ----------------------------------------------------------- speculative decode
+
+
+class SpecGen(NamedTuple):
+    tokens: jnp.ndarray     # [1, max_new] int32 (pad after EOS)
+    lengths: jnp.ndarray    # [1]
+    n_verify: jnp.ndarray   # scalar: verify forwards run
+    n_commit: jnp.ndarray   # scalar: tokens committed (= lengths unless EOS)
+
+
+def _lookup_draft(ctx: jnp.ndarray, w: jnp.ndarray, gamma: int) -> jnp.ndarray:
+    """Prompt-lookup drafting (no draft model): find the most recent earlier
+    occurrence of the last bigram in ctx[:w] and propose the `gamma` tokens
+    that followed it; fall back to repeating the last token. Drafts are
+    VERIFIED by the target model, so a bad draft costs acceptance, never
+    correctness."""
+    W = ctx.shape[0]
+    j = jnp.arange(W)
+    a2 = ctx[jnp.maximum(w - 2, 0)]
+    b2 = ctx[jnp.maximum(w - 1, 0)]
+    prev = jnp.concatenate([ctx[:1], ctx[:-1]])          # prev[j] = ctx[j-1]
+    match = (prev == a2) & (ctx == b2) & (j >= 1) & (j < w - 1) & (w >= 2)
+    has = jnp.any(match)
+    jm = jnp.argmax(jnp.where(match, j, -1))
+    # a match near the tail (overlapping continuation — the self-similar
+    # case) would read past the known region: clamp to the last KNOWN token
+    # so e.g. a constant run drafts the constant, not unwritten zeros
+    idx = jnp.clip(jm + 1 + jnp.arange(gamma), 0, jnp.maximum(w - 1, 0))
+    rep = ctx[jnp.maximum(w - 1, 0)]
+    return jnp.where(has, ctx[idx], rep)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "gamma", "min_tokens",
+                     "kv_int8"),
+)
+def generate_speech_spec(
+    params: Params,
+    cfg: TokenLMConfig,
+    prefix: Prefix,
+    style_tokens: jnp.ndarray,      # [1, T_sty] (the lookup corpus seed)
+    style_len: jnp.ndarray,         # [1]
+    *,
+    max_new_tokens: int,
+    gamma: int = 4,
+    min_tokens: int = 2,
+    kv_int8: bool = False,
+) -> SpecGen:
+    """GREEDY decode via prompt-lookup speculative verification, B=1.
+
+    Each iteration drafts `gamma` tokens from the speech context (style
+    prompt + generated so far), runs ONE (gamma+1)-position verify forward —
+    roughly the cost of a single decode step at small gamma (the weight
+    stream dominates; SURVEY decode analysis) — and commits the longest
+    prefix of drafts matching the model's own greedy choices plus the
+    model's next token. Output is BIT-IDENTICAL to generate_speech greedy
+    for any weights (tests/test_spec_decode.py): drafting quality moves
+    speed, never content. Expected speedup = mean committed per verify;
+    ROADMAP notes acceptance needs trained weights to be meaningful —
+    measured on the trained demo fixture in the tests."""
+    ccfg = core_config(cfg)
+    B, P, D = prefix.embeds.shape
+    assert B == 1, "speculative decode is the B=1 latency path"
+    S_max = -(-(P + max_new_tokens + gamma + 2) // 8) * 8
+    cache = core.make_cache(ccfg, B, S_max, quantized=kv_int8)
+    slot = jnp.arange(S_max, dtype=jnp.int32)
+    offset = (P - prefix.length).astype(jnp.int32)          # [1]
+
+    pos = jnp.maximum(jnp.arange(P, dtype=jnp.int32)[None, :] - offset[:, None], 0)
+    valid = slot[None, :] >= offset[:, None]
+    pmask = causal_mask(P, S_max) & valid[:, None, None, :]
+    out = core.forward(
+        params, ccfg, inputs_embeds=prefix.embeds, positions=pos, mask=pmask,
+        cache=cache, cache_start=jnp.int32(0), skip_logits=True,
+        flash_offset=offset if core.flash_ok(P, ccfg.head_dim) else None,
+    )
+    head = params["speech_head"]
+    eos, padt = cfg.speech_eos, cfg.speech_pad
+    V = cfg.speech_vocab_size
+    vj = jnp.arange(V)
+
+    def greedy(logits, n_before):
+        """[Q, V] -> [Q] greedy ids under the standard masking rules (padt /
+        BOS always suppressed; EOS before min_tokens; n_before = committed
+        count before this window's first position)."""
+        q = jnp.arange(logits.shape[0])
+        l = jnp.where((vj == padt) | (vj == cfg.speech_bos), -1e30, logits)
+        sup = (n_before + q)[:, None] < min_tokens
+        l = jnp.where(sup & (vj == eos)[None, :], -1e30, l)
+        return jnp.argmax(l, axis=-1).astype(jnp.int32)
+
+    first_logits = core.matmul_any(out.hidden[:, -1], head).astype(jnp.float32)
+    g0 = greedy(first_logits, jnp.int32(0))[0]
+    g0_eos = g0 == eos
+
+    T_sty = style_tokens.shape[1]
+    W_ctx = T_sty + max_new_tokens + gamma + 1
+    ctx0 = jnp.zeros((W_ctx,), jnp.int32)
+    ctx0 = jax.lax.dynamic_update_slice(ctx0, style_tokens[0], (0,))
+    w0 = style_len[0].astype(jnp.int32)
+    ctx0 = jnp.where(jnp.arange(W_ctx) == w0, g0, ctx0)
+    W_tok = max_new_tokens + gamma + 1
+    toks0 = jnp.full((W_tok,), padt, jnp.int32)
+    toks0 = jnp.where(jnp.arange(W_tok) == 0, g0, toks0)   # eos kept, as in
+    #                                                        the standard loop
+
+    state0 = (
+        out.cache, ctx0, w0 + jnp.where(g0_eos, 0, 1), toks0,
+        jnp.where(g0_eos, jnp.int32(0), jnp.int32(1)),   # n_gen committed
+        g0_eos,                                          # done
+        g0,                                              # pending token
+        jnp.int32(P),                                    # t_cache
+        jnp.int32(0),                                    # n_verify
+    )
+    qj = jnp.arange(gamma + 1, dtype=jnp.int32)
+
+    def step(s):
+        cache, ctx, w, toks, n_gen, done, pending, t_cache, n_verify = s
+        d = _lookup_draft(ctx, w, gamma)                    # [gamma]
+        ids = jnp.concatenate([pending[None], d])           # [gamma+1]
+        emb = params["speech_emb"][ids][None]               # [1, gamma+1, D]
+        positions = (t_cache + qj - offset[0])[None, :]
+        mask = (valid[:, None, None, :]
+                & (slot[None, None, None, :] <= (t_cache + qj)[None, None, :, None]))
+        o = core.forward(
+            params, ccfg, inputs_embeds=emb, positions=positions, mask=mask,
+            cache=cache, cache_start=t_cache, skip_logits=True,
+        )
+        logits = core.matmul_any(o.hidden[0], head).astype(jnp.float32)
+        g = greedy(logits, n_gen)                           # [gamma+1]
+        # drafts d[0..gamma-1] accept while they match the model's choices
+        acc = jnp.cumprod((d == g[:gamma]).astype(jnp.int32))
+        a = jnp.sum(acc)                                    # accepted drafts
+        budget = jnp.int32(max_new_tokens) - n_gen
+        ncommit = jnp.minimum(a + 1, budget)
+        in_commit = qj < ncommit
+        is_eos_j = (g == eos) & in_commit
+        any_eos = jnp.any(is_eos_j)
+        n_keep = jnp.where(any_eos, jnp.argmax(is_eos_j).astype(jnp.int32),
+                           ncommit)
+        # the standard loop leaves the EOS itself in the buffer at index
+        # `length` (pad only after it) — keep bit-parity with that
+        window = jnp.where(qj < n_keep + any_eos, g, padt)
+        toks = jax.lax.dynamic_update_slice(toks, window, (n_gen,))
+        ctx = jax.lax.dynamic_update_slice(
+            ctx, jnp.where(qj < n_keep, g, 0), (w,))
+        return (
+            o.cache, ctx, w + n_keep, toks, n_gen + n_keep,
+            done | any_eos, g[a], t_cache + a + 1, n_verify + 1,
+        )
+
+    def cond(s):
+        _, _, _, _, n_gen, done, *_ = s
+        return ~done & (n_gen < max_new_tokens)
+
+    (_, _, _, toks, n_gen, _, _, _, n_verify) = jax.lax.while_loop(
+        cond, step, state0
+    )
+    return SpecGen(
+        tokens=toks[None, :max_new_tokens], lengths=n_gen[None],
+        n_verify=n_verify, n_commit=n_gen,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "gamma", "min_tokens",
+                     "kv_int8", "pad_multiple"),
+)
+def generate_speech_spec_from_ids(
+    params: Params,
+    cfg: TokenLMConfig,
+    text: jnp.ndarray,
+    text_len: jnp.ndarray,
+    style_tokens: jnp.ndarray,
+    style_len: jnp.ndarray,
+    spk: jnp.ndarray,
+    *,
+    max_new_tokens: int,
+    gamma: int = 4,
+    min_tokens: int = 2,
+    kv_int8: bool = False,
+    pad_multiple: int = 128,
+) -> SpecGen:
+    """Prefix assembly + prefill + speculative greedy decode, ONE program
+    (the from_ids convention — each extra submission costs a tunnel RTT)."""
+    pre = build_prefix(params, cfg, text, text_len, style_tokens, style_len,
+                       spk)
+    pre = pad_prefix(pre, multiple=pad_multiple)
+    return generate_speech_spec(
+        params, cfg, pre, style_tokens, style_len,
+        max_new_tokens=max_new_tokens, gamma=gamma, min_tokens=min_tokens,
+        kv_int8=kv_int8,
+    )
+
+
 def _generate_fused(
     params: Params,
     decode_params,

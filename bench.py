@@ -175,6 +175,56 @@ def bench_lm_split(engine, cfg, texts, style_text, sty_feat, tim_feat,
     return out
 
 
+def bench_spec_decode(engine, cfg, texts, style_text, sty_feat, rtt_s: float,
+                      gamma: int = 4):
+    """Prompt-lookup speculative decode (round-3 machinery): cost of one
+    (gamma+1)-token verify forward vs the standard decode step, plus the
+    commits/verify this engine's weights actually accept. With random
+    weights acceptance ~1 so spec loses; the trained demo fixture measures
+    4.9 commits/verify at gamma=4 (tests/test_spec_decode.py) — the
+    breakeven acceptance below says when it wins."""
+    import jax.numpy as jnp
+
+    from autostyle_tts_tpu.models import frontend, token_lm
+    from autostyle_tts_tpu.pipeline.engine import TEXT_BUCKETS, _bucket
+
+    tl = cfg.token_lm
+    tok = engine.text_tokenizer
+    full = (style_text + " " + texts[-1]).strip()
+    text_ids, text_lens = frontend.encode_batch(
+        [full], None,
+        width=_bucket(len(frontend.encode(full, tokenizer=tok)), TEXT_BUCKETS),
+        tokenizer=tok,
+    )
+    sty = np.zeros((1, 64), np.int32)
+    n_s = min(len(sty_feat.tokens), 64)
+    sty[0, :n_s] = sty_feat.tokens[:n_s]
+    d = [jnp.asarray(x) for x in (
+        text_ids, text_lens, sty, np.asarray([n_s], np.int32),
+        sty_feat.spk[None],
+    )]
+
+    def spec():
+        g = token_lm.generate_speech_spec_from_ids(
+            engine.params.token_lm, tl, *d,
+            max_new_tokens=128, gamma=gamma, min_tokens=128,
+        )
+        return np.asarray(jnp.stack([g.n_verify, g.n_commit]))
+
+    nv, nc = spec()
+    t = _p50(spec, 5)
+    verify_ms = max((t - rtt_s) / max(int(nv), 1) * 1e3, 0.0)
+    return {
+        "gamma": gamma,
+        "spec_128tok_s": round(t, 4),
+        "commit_per_verify": round(int(nc) / max(int(nv), 1), 2),
+        "verify_ms_per_iter": round(verify_ms, 3),
+        "note": "random weights accept ~1; trained fixture measured 4.9 "
+                "commits/verify (gamma=4) — win = accept > verify_ms / "
+                "decode_step_ms",
+    }
+
+
 def bench_retrieval(rng, rtt_s: float):
     """Transport QPS (what a remote client sees) AND device-side QPS
     (round-2 VERDICT #8: the transport number measured tunnel RTT, swinging
@@ -647,6 +697,12 @@ def main() -> None:
     device_sum = sum(stage_device.get(k, 0.0) for k in synth_stages)
     lm_split = bench_lm_split(engine, cfg, texts, style_text, style_feats[0],
                               timbre_feat, rtt_s)
+    _mark("spec_decode")
+    try:
+        lm_spec = bench_spec_decode(engine, cfg, texts, style_text,
+                                    style_feats[0], rtt_s)
+    except Exception as e:              # pragma: no cover - defensive
+        lm_spec = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # ---- batched serving throughput (8 distinct utterances, one program)
     texts8 = texts[:8]
@@ -739,6 +795,7 @@ def main() -> None:
                     "stage_p50_ms_device": stage_device,
                     "stage_device_sum_ms": round(device_sum, 1),
                     "lm_split": lm_split,
+                    "lm_spec": lm_spec,
                     **retrieval,
                     "embedder_3b": embedder,
                     "embedder_7b": embedder7,
