@@ -492,6 +492,21 @@ class Engine:
             sty[i, :n] = f.tokens[:n]
             sty_lens[i] = n
         max_new = _bucket(int(max_seconds * tl.token_rate), GEN_BUCKETS)
+        spec_gamma = getattr(self.cfg, "speculative_gamma", 0)
+        if spec_gamma > 0 and B == 1:
+            # prompt-lookup speculative decode (greedy-only; bit-identical
+            # to the standard greedy path — config.speculative_gamma doc)
+            with self.watch.span("lm_generate"):
+                gen = token_lm.generate_speech_spec_from_ids(
+                    self.params.token_lm, tl,
+                    self._dev(text_ids), self._dev(text_lens),
+                    self._dev(sty), self._dev(sty_lens),
+                    self._dev(spk), max_new_tokens=max_new,
+                    gamma=spec_gamma,
+                    kv_int8=getattr(self.cfg, "quantize_lm_kv_int8", False),
+                )
+                self.watch.sync(gen.tokens, gen.lengths)
+            return gen.tokens, gen.lengths, max_new
         with self.watch.span("lm_generate"):
             self.key, sub = jax.random.split(self.key)
             # raw prefix width before the 128-pad, to pick the fused gate

@@ -294,6 +294,13 @@ class Config:
     # quantize_lm_int8; prefill + fallback paths stay int8): halves the
     # per-step weight HBM stream — the B=1 decode bottleneck
     quantize_lm_int4: bool = False
+    # >0: B=1 LM generation uses prompt-lookup SPECULATIVE decoding with
+    # this draft length — GREEDY ONLY (forces greedy sampling; output is
+    # bit-identical to standard greedy, token_lm.generate_speech_spec).
+    # Worth it only with trained weights whose streams accept drafts:
+    # enable when measured acceptance > verify_cost/step_cost (bench.py
+    # lm_spec reports both). Default off — the megakernel serves B=1.
+    speculative_gamma: int = 0
 
 
 def demo_config() -> Config:

@@ -176,3 +176,24 @@ def test_spec_acceptance_on_trained_fixture():
     print(f"spec-decode commits/verify on trained fixture: {mean_ratio:.2f} "
           f"({[round(r, 2) for r in ratios]})")
     assert mean_ratio > 1.5
+
+
+def test_engine_speculative_mode_deterministic_across_gamma():
+    """Engine(speculative_gamma=k) is greedy: different draft lengths must
+    produce byte-identical audio (drafting moves speed, never content)."""
+    from autostyle_tts_tpu.pipeline.engine import Engine
+
+    wavs = {}
+    for gamma in (3, 6):
+        cfg = tiny_config()
+        cfg.speculative_gamma = gamma
+        eng = Engine(cfg, seed=0)
+        sr = cfg.audio.prompt_sample_rate
+        t = np.arange(sr) / sr
+        prompt = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        feat = eng.prompt_features([prompt])[0]
+        out = eng._synthesize(["hello speculative world"], ["st"],
+                              [feat], [feat], max_seconds=2.0)
+        assert np.isfinite(out[0]).all() and out[0].size > 0
+        wavs[gamma] = out[0]
+    np.testing.assert_array_equal(wavs[3], wavs[6])
