@@ -850,16 +850,20 @@ def lm_loss(
 # ----------------------------------------------------------------------- continuous batching
 
 
-@partial(jax.jit, static_argnames=("cfg", "s_max"))
+@partial(jax.jit, static_argnames=("cfg", "s_max", "kv_int8"))
 def prefill_prefix(
-    params: Params, cfg: TokenLMConfig, prefix: Prefix, *, s_max: int
+    params: Params, cfg: TokenLMConfig, prefix: Prefix, *, s_max: int,
+    kv_int8: bool = False,
 ):
     """Prefill one (or a batch of) prefix into a fresh [L, B, s_max, K, hd]
     cache. Returns (cache, next_logits [B, V] f32, offset [B]). The slot-
-    admission half of the continuous-batching path (pipeline/continuous.py)."""
+    admission half of the continuous-batching path (pipeline/continuous.py).
+    kv_int8 stores the cache quantized (halves the per-step cache stream in
+    decode_chunk — at B=8/S=552 the bf16 cache read ~matches the weight
+    stream)."""
     ccfg = core_config(cfg)
     B, P, D = prefix.embeds.shape
-    cache = core.make_cache(ccfg, B, s_max)
+    cache = core.make_cache(ccfg, B, s_max, quantized=kv_int8)
     slot = jnp.arange(s_max, dtype=jnp.int32)
     offset = (P - prefix.length).astype(jnp.int32)
     pos = jnp.maximum(jnp.arange(P, dtype=jnp.int32)[None, :] - offset[:, None], 0)
@@ -912,7 +916,7 @@ def decode_chunk(
     row's home slots ONCE per chunk. Callers size the cache with `n_steps`
     spare slots (ContinuousBatcher.s_max) so capacity is preserved.
     Returns (cache, cur_logits, t, done, steps, tokens [B, n_steps])."""
-    from ..ops.attention import NEG_INF, apply_rope
+    from ..ops.attention import NEG_INF, apply_rope, quantize_kv
     from ..ops.quant import QTensor
 
     ccfg = core_config(cfg)
@@ -930,8 +934,11 @@ def decode_chunk(
     eps = ccfg.norm_eps
     cos_tab, sin_tab = rope_table(ccfg.max_seq_len, hd, ccfg.rope_theta)
     t0 = t                             # home fill level BEFORE this chunk
+    quant = "k_scale" in cache         # int8 KV: values + per-row scales
     k_main = cache["k"]                # [L, B, S_tot, K, hd] — read-only
     v_main = cache["v"]
+    ks_main = cache.get("k_scale")     # [L, B, S_tot, K] f32 (quant only)
+    vs_main = cache.get("v_scale")
     slot = jnp.arange(S_tot, dtype=jnp.int32)
     main_valid = (
         (slot[None, :] >= offset[:, None]) & (slot[None, :] < t0[:, None])
@@ -961,8 +968,33 @@ def decode_chunk(
         )
         return (num / den[..., None]).reshape(B, H * hd)
 
+    def attn_2seg_quant(q, k_m, ks_m, v_m, vs_m, k_a, ks_a, v_a, vs_a,
+                        a_valid):
+        """attn_2seg over an int8 cache: per-(position, head) scales are
+        scalar across hd, so k's scale multiplies the finished dot and v's
+        folds into the probabilities (ops/attention.sdpa_quant) — the dots
+        stream int8, cache traffic halves."""
+        qf = q.astype(jnp.float32).reshape(B, 1, K, rep, hd) * hd ** -0.5
+        lm = jnp.sum(qf * k_m.astype(jnp.float32)[:, :, :, None, :], -1)
+        lm = jnp.where(main_valid[:, :, None, None],
+                       lm * ks_m[..., None], NEG_INF)
+        la = jnp.sum(qf * k_a.astype(jnp.float32)[:, :, :, None, :], -1)
+        la = jnp.where(a_valid[None, :, None, None],
+                       la * ks_a[..., None], NEG_INF)
+        mx = jnp.maximum(jnp.max(lm, 1), jnp.max(la, 1))[:, None]
+        pm = jnp.exp(lm - mx)
+        pa = jnp.exp(la - mx)
+        den = jnp.maximum(jnp.sum(pm, 1) + jnp.sum(pa, 1), 1e-30)
+        num = (
+            jnp.sum((pm * vs_m[..., None])[..., None]
+                    * v_m.astype(jnp.float32)[:, :, :, None, :], 1)
+            + jnp.sum((pa * vs_a[..., None])[..., None]
+                      * v_a.astype(jnp.float32)[:, :, :, None, :], 1)
+        )
+        return (num / den[..., None]).reshape(B, H * hd)
+
     def step(carry, i):
-        app_k, app_v, logits, t, done, steps, key = carry
+        app_k, app_v, app_ks, app_vs, logits, t, done, steps, key = carry
         key, sub = jax.random.split(key)
         lg = logits.at[:, padt].set(-1e30).at[:, cfg.speech_bos].set(-1e30)
         lg = jnp.where(
@@ -987,15 +1019,34 @@ def decode_chunk(
                 k_new.reshape(B, 1, K, hd), cos_tab, sin_tab, pos
             )
             v_new = v_new.reshape(B, 1, K, hd)
-            app_k = jax.lax.dynamic_update_slice(
-                app_k, k_new.astype(dt)[None], (l, 0, i, 0, 0)
-            )
-            app_v = jax.lax.dynamic_update_slice(
-                app_v, v_new.astype(dt)[None], (l, 0, i, 0, 0)
-            )
-            attn = attn_2seg(
-                q, k_main[l], v_main[l], app_k[l], app_v[l], a_valid
-            ).astype(dt)
+            if quant:
+                # quantize at append time (same per-row formula as the
+                # one-shot kv_int8 path) so in-chunk reads see the same
+                # numerics as cache reads in the next chunk
+                k8, ks1 = quantize_kv(k_new)
+                v8, vs1 = quantize_kv(v_new)
+                app_k = jax.lax.dynamic_update_slice(
+                    app_k, k8[None], (l, 0, i, 0, 0))
+                app_v = jax.lax.dynamic_update_slice(
+                    app_v, v8[None], (l, 0, i, 0, 0))
+                app_ks = jax.lax.dynamic_update_slice(
+                    app_ks, ks1[None], (l, 0, i, 0))
+                app_vs = jax.lax.dynamic_update_slice(
+                    app_vs, vs1[None], (l, 0, i, 0))
+                attn = attn_2seg_quant(
+                    q, k_main[l], ks_main[l], v_main[l], vs_main[l],
+                    app_k[l], app_ks[l], app_v[l], app_vs[l], a_valid,
+                ).astype(dt)
+            else:
+                app_k = jax.lax.dynamic_update_slice(
+                    app_k, k_new.astype(dt)[None], (l, 0, i, 0, 0)
+                )
+                app_v = jax.lax.dynamic_update_slice(
+                    app_v, v_new.astype(dt)[None], (l, 0, i, 0, 0)
+                )
+                attn = attn_2seg(
+                    q, k_main[l], v_main[l], app_k[l], app_v[l], a_valid
+                ).astype(dt)
             h = h + core.matmul_any(attn, lw(lp["wo"], l)).astype(dt)
             x = core.rmsnorm(h, lp["mlp_norm"][l], eps)
             gu = core.matmul_any(x, lw(lp["w_gate_up"], l))
@@ -1007,22 +1058,32 @@ def decode_chunk(
         hn = core.rmsnorm(h, params["final_norm"], eps)
         nxt = core.matmul_any(hn.astype(dt), head).astype(jnp.float32)
         t = jnp.minimum(t + 1, S_eff - 1)
-        return (app_k, app_v, nxt, t, done, steps, key), tok
+        return (app_k, app_v, app_ks, app_vs, nxt, t, done, steps, key), tok
 
-    app_k0 = jnp.zeros((L, B, n_steps, K, hd), dt)
-    app_v0 = jnp.zeros((L, B, n_steps, K, hd), dt)
-    (app_k, app_v, cur_logits, t, done, steps, _), toks = jax.lax.scan(
-        step, (app_k0, app_v0, cur_logits, t, done, steps, key),
-        jnp.arange(n_steps),
-    )
+    a_dt = jnp.int8 if quant else dt
+    app_k0 = jnp.zeros((L, B, n_steps, K, hd), a_dt)
+    app_v0 = jnp.zeros((L, B, n_steps, K, hd), a_dt)
+    app_ks0 = jnp.zeros((L, B, n_steps, K), jnp.float32)
+    app_vs0 = jnp.zeros((L, B, n_steps, K), jnp.float32)
+    (app_k, app_v, app_ks, app_vs, cur_logits, t, done, steps, _), toks = \
+        jax.lax.scan(
+            step,
+            (app_k0, app_v0, app_ks0, app_vs0, cur_logits, t, done, steps,
+             key),
+            jnp.arange(n_steps),
+        )
 
     def fold(main, app):
         # ONE per-row scatter per chunk: append rows -> home slots at t0_b.
         # DUS clamps starts in-bounds; rows near capacity are done already.
+        nz = main.ndim - 3              # trailing zero index dims after S
         one = lambda mb, ab, s0: jax.lax.dynamic_update_slice(
-            mb, ab.astype(mb.dtype), (0, s0, 0, 0)
+            mb, ab.astype(mb.dtype), (0, s0) + (0,) * nz
         )
         return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(main, app, t0)
 
     cache = {"k": fold(k_main, app_k), "v": fold(v_main, app_v)}
+    if quant:
+        cache["k_scale"] = fold(ks_main, app_ks)
+        cache["v_scale"] = fold(vs_main, app_vs)
     return cache, cur_logits, t, done, steps, toks.T

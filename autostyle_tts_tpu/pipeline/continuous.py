@@ -50,10 +50,8 @@ def _admit_many(cache, cur_logits, t, offset, done, steps, bs,
     """Insert a BATCH of freshly prefilled requests into slots `bs` (in
     place). Duplicate slot ids (bucket-padding rows repeat a real request)
     scatter identical values, so they are harmless."""
-    cache = {
-        "k": cache["k"].at[:, bs].set(cache_b["k"]),
-        "v": cache["v"].at[:, bs].set(cache_b["v"]),
-    }
+    # generic over cache layouts: {k, v} (+ {k_scale, v_scale} when int8)
+    cache = {kk: buf.at[:, bs].set(cache_b[kk]) for kk, buf in cache.items()}
     cur_logits = cur_logits.at[bs].set(logits_b)
     t = t.at[bs].set(p_max)
     offset = offset.at[bs].set(offset_b)
@@ -93,6 +91,7 @@ class ContinuousBatcher:
         sampler: SamplerConfig = SamplerConfig(temperature=1.0, top_k=25),
         min_tokens: int = 2,
         max_new: int = 512,
+        kv_int8: Optional[bool] = None,
     ):
         self.engine = engine
         cfg: Config = engine.cfg
@@ -103,6 +102,13 @@ class ContinuousBatcher:
         self.sampler = sampler
         self.min_tokens = min_tokens
         self.max_new = max_new
+        # int8 KV cache (follows the engine's serving config unless
+        # overridden): at B=8/S=552 the bf16 cache read in decode_chunk
+        # ~matches the weight stream — quantizing halves it
+        self.kv_int8 = (
+            getattr(cfg, "quantize_lm_kv_int8", False)
+            if kv_int8 is None else kv_int8
+        )
         # +chunk: decode_chunk writes each tick's tokens into a shared
         # append region at the buffer tail before folding them into the
         # per-row home slots (one scatter per chunk, not per step)
@@ -110,11 +116,12 @@ class ContinuousBatcher:
         self.n_slots = slots
         # NOTE: continuous decode runs token_lm.decode_chunk (unrolled
         # layers, read-only main cache + append buffers) — quantized
-        # token-LM params work (matmul_any); the KV cache stays bf16.
+        # token-LM params work (matmul_any).
         from ..models import transformer as core
 
         ccfg = token_lm.core_config(self.tl)
-        self.cache = core.make_cache(ccfg, slots, self.s_max)
+        self.cache = core.make_cache(ccfg, slots, self.s_max,
+                                     quantized=self.kv_int8)
         V = self.tl.speech_vocab_size
         self.cur_logits = jnp.full((slots, V), -1e30, jnp.float32)
         self.t = jnp.zeros((slots,), jnp.int32)
@@ -218,7 +225,8 @@ class ContinuousBatcher:
             jnp.asarray(spk_a), pad_multiple=self.p_max,
         )
         cache_b, logits_b, offset_b = token_lm.prefill_prefix(
-            eng.params.token_lm, self.tl, pre, s_max=self.s_max
+            eng.params.token_lm, self.tl, pre, s_max=self.s_max,
+            kv_int8=self.kv_int8,
         )
         (self.cache, self.cur_logits, self.t, self.offset, self.done,
          self.steps) = _admit_many(

@@ -156,3 +156,33 @@ def test_continuous_empty_style_with_headroom_finishes():
     done = bat.drain()
     assert len(done) == 1 and done[0]["id"] == "ok"
     assert len(done[0]["tokens"]) >= 1
+
+
+def test_continuous_kv_int8_matches_one_shot_kv_int8():
+    """int8-KV continuous decoding (cache stream halves at batch) must
+    produce the SAME greedy tokens as the one-shot kv_int8 path — the
+    appends quantize per row with the same formula the one-shot writes use,
+    so the numerics line up exactly."""
+    eng = _engine()
+    feat = eng.prompt_features([_wav(seed=8)])[0]
+    req = {"id": "q", "text": "hello quantized", "style_text": "st",
+           "style_feat": feat, "flow_feat": feat}
+    bat = ContinuousBatcher(
+        eng, slots=2, chunk=5, p_max=64,
+        sampler=SamplerConfig(greedy=True), max_new=24, kv_int8=True,
+    )
+    assert "k_scale" in bat.cache
+    bat.submit(dict(req))
+    done = bat.drain()
+    assert len(done) == 1
+    got = done[0]["tokens"]
+
+    pre = bat._build_prefix(req)
+    ref = token_lm.generate_speech(
+        eng.params.token_lm, eng.cfg.token_lm, pre, jax.random.PRNGKey(0),
+        max_new_tokens=24, sampler=SamplerConfig(greedy=True), min_tokens=2,
+        kv_int8=True,
+    )
+    n = int(ref.lengths[0])
+    np.testing.assert_array_equal(got[:n], np.asarray(ref.tokens)[0, :n])
+    assert len(got) == n or len(got) == 24
