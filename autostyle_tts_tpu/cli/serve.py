@@ -64,13 +64,45 @@ def _read_batch(stream: TextIO, batch: int, max_wait_ms: float) -> List[dict]:
     return out
 
 
+def _bounded_reader(stream, limit: int, submit):
+    """Shared request-line reader for the continuous/streaming loops.
+
+    Returns try_read(block) -> False on EOF. Non-blocking when decode work
+    is in flight (stdin polled via select), and bounded to `limit` lines
+    per tick so a FILE input doesn't featurize every request (each a device
+    round-trip) before the first scheduler step runs. Bad lines report as
+    {"error": ...} without stopping the loop."""
+    import select
+
+    def try_read(block: bool) -> bool:
+        taken = 0
+        while taken < limit:
+            if stream is sys.stdin and not block:
+                r, _, _ = select.select([stream], [], [], 0)
+                if not r:
+                    return True
+            line = stream.readline()
+            if not line:
+                return False
+            block = False
+            line = line.strip()
+            if not line:
+                continue
+            taken += 1
+            try:
+                submit(json.loads(line))
+            except Exception as e:
+                print(json.dumps({"error": str(e)}), flush=True)
+        return True
+
+    return try_read
+
+
 def _serve_streaming(args, engine, stream, result_dir, prompt_of, out_sr):
     """--continuous --stream loop: every request is a live streaming session
     (pipeline/stream_serve.StreamingScheduler). Emits one JSONL line per
     audio chunk ({"id", "chunk", "wav", "ttfb_ms" on the first}) and a
     summary line with the stitched full wav when a session completes."""
-    import select
-
     import numpy as np
 
     from ..pipeline.stream_serve import StreamingScheduler
@@ -91,35 +123,15 @@ def _serve_streaming(args, engine, stream, result_dir, prompt_of, out_sr):
             )
         return req
 
-    def try_read(block: bool) -> bool:
-        """Read request lines; returns False on EOF. Bounded per tick: a
-        FILE input would otherwise featurize every request up front (each a
-        device round-trip) before the first scheduler step — sessions must
-        start streaming while later requests are still on disk."""
-        taken = 0
-        while taken < args.slots:
-            if stream is sys.stdin and not block:
-                r, _, _ = select.select([stream], [], [], 0)
-                if not r:
-                    return True
-            line = stream.readline()
-            if not line:
-                return False
-            block = False
-            line = line.strip()
-            if not line:
-                continue
-            taken += 1
-            try:
-                req = featurize_req(json.loads(line))
-                sid = sch.submit(req)
-                meta[sid] = {
-                    "req": req, "chunks": [], "n": 0,
-                    "rid": str(req.get("id", sid)),
-                }
-            except Exception as e:
-                print(json.dumps({"error": str(e)}), flush=True)
-        return True
+    def _submit(raw: dict) -> None:
+        req = featurize_req(raw)
+        sid = sch.submit(req)
+        meta[sid] = {
+            "req": req, "chunks": [], "n": 0,
+            "rid": str(req.get("id", sid)),
+        }
+
+    try_read = _bounded_reader(stream, args.slots, _submit)
 
     served = 0
     eof = False
@@ -270,32 +282,9 @@ def main(argv=None) -> None:
                 )
             return req
 
-        def try_read(block: bool) -> bool:
-            """Read request lines; returns False on EOF. Non-blocking when
-            decode work is in flight (stdin polled via select), and bounded
-            per tick so a FILE input doesn't featurize the whole file before
-            the first decode step runs."""
-            import select
-
-            taken = 0
-            while taken < args.slots:
-                if stream is sys.stdin and not block:
-                    r, _, _ = select.select([stream], [], [], 0)
-                    if not r:
-                        return True
-                line = stream.readline()
-                if not line:
-                    return False
-                block = False
-                line = line.strip()
-                if not line:
-                    continue
-                taken += 1
-                try:
-                    batcher.submit(featurize_req(json.loads(line)))
-                except Exception as e:
-                    print(json.dumps({"error": str(e)}), flush=True)
-            return True
+        try_read = _bounded_reader(
+            stream, args.slots, lambda raw: batcher.submit(featurize_req(raw))
+        )
 
         eof = False
         try:

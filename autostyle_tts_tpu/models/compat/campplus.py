@@ -87,10 +87,13 @@ def _fbank_basis():
     return cos, sin
 
 
+@jax.jit
 def kaldi_fbank(wav16: jnp.ndarray) -> jnp.ndarray:
     """[T] 16 kHz float wav -> [n_frames, 80] mean-normalized log-fbank
     (kaldi conventions: snip edges, per-frame DC removal, preemphasis 0.97,
-    povey window, natural log; dither 0 as the upstream frontend sets)."""
+    povey window, natural log; dither 0 as the upstream frontend sets).
+    Jitted: ONE program per wav length instead of ~6 eager dispatches (each
+    extra submission costs a tunnel RTT on this repo's device)."""
     x = jnp.asarray(wav16, jnp.float32) * 32768.0   # kaldi int16 scaling
     frames = frame_signal(x, FRAME_LEN, HOP)        # [F, 400], snip edges
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
@@ -139,7 +142,13 @@ class CampPlusCompat:
         """16 kHz wav -> x-vector, fbank + graph in one shot. bucket=True
         pads the frame count to the bucket family (fewer compiles when
         embedding many prompts; CMN still runs on the real frames only)."""
-        feat = kaldi_fbank(jnp.asarray(wav16).reshape(-1))
+        wav16 = np.asarray(wav16).reshape(-1)
+        if wav16.size < FRAME_LEN:
+            raise ValueError(
+                f"speaker prompt too short: {wav16.size} samples < one "
+                f"{FRAME_LEN}-sample (25 ms @ 16 kHz) analysis frame"
+            )
+        feat = kaldi_fbank(jnp.asarray(wav16))
         n = feat.shape[0]
         if bucket:
             w = next((b for b in self.frame_buckets if b >= n), None)

@@ -515,11 +515,18 @@ def generate_speech_spec(
     roughly the cost of a single decode step at small gamma (the weight
     stream dominates; SURVEY decode analysis) — and commits the longest
     prefix of drafts matching the model's own greedy choices plus the
-    model's next token. Output is BIT-IDENTICAL to generate_speech greedy
-    for any weights (tests/test_spec_decode.py): drafting quality moves
-    speed, never content. Expected speedup = mean committed per verify;
-    ROADMAP notes acceptance needs trained weights to be meaningful —
-    measured on the trained demo fixture in the tests."""
+    model's next token. Output matches generate_speech greedy exactly in
+    every test, across random AND trained weights
+    (tests/test_spec_decode.py): drafting quality moves speed, never
+    content. Honest caveat: exactness relies on XLA producing the same f32
+    logits from the (gamma+1)-position verify program as from the T=1
+    decode program — a top-2 logit tie within reduction-order rounding
+    could flip one argmax (true of any speculative implementation whose
+    verify kernel differs from its decode kernel); validated on the CPU
+    mesh and the trained fixture, re-validate when enabling on TPU.
+    Expected speedup = mean committed per verify; ROADMAP notes acceptance
+    needs trained weights to be meaningful — measured on the trained demo
+    fixture in the tests."""
     ccfg = core_config(cfg)
     B, P, D = prefix.embeds.shape
     assert B == 1, "speculative decode is the B=1 latency path"

@@ -60,6 +60,11 @@ def _pool_window(x, node: OnnxNode, reducer, init):
     nd = len(kshape)
     strides = node.attrs.get("strides", [1] * nd)
     pads = node.attrs.get("pads", [0] * (2 * nd))
+    if node.attrs.get("auto_pad", "NOTSET") not in ("NOTSET", ""):
+        raise ValueError("Pool auto_pad is not supported; export with "
+                         "explicit pads")
+    if int(node.attrs.get("ceil_mode", 0)):
+        raise ValueError("Pool ceil_mode=1 is not supported")
     window = (1, 1, *kshape)
     strides_full = (1, 1, *strides)
     padding = ((0, 0), (0, 0)) + tuple(
@@ -68,7 +73,17 @@ def _pool_window(x, node: OnnxNode, reducer, init):
     out = jax.lax.reduce_window(x, init, reducer, window, strides_full,
                                 padding)
     if reducer is jax.lax.add:
-        out = out / float(np.prod(kshape))
+        if int(node.attrs.get("count_include_pad", 0)):
+            out = out / float(np.prod(kshape))
+        else:
+            # ONNX default: average over the NON-pad elements only — count
+            # them with the same window reduction over a ones tensor
+            ones = jnp.ones(x.shape[:1] + (1,) + x.shape[2:], x.dtype)
+            cnt = jax.lax.reduce_window(
+                ones, jnp.zeros((), x.dtype), jax.lax.add, window,
+                strides_full, padding,
+            )
+            out = out / cnt
     return out
 
 

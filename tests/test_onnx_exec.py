@@ -232,3 +232,43 @@ def test_convert_cli_campplus_graph_and_engine_embedding(tmp_path):
         spk=emb, max_new=8,
     ))
     assert np.isfinite(out["tts_speech"]).all()
+
+
+def test_avgpool_excludes_pad_by_default():
+    """ONNX AveragePool default count_include_pad=0: padded positions must
+    not dilute edge averages (review repro: kernel 3, pads [1,1] on
+    [3,6,9,12] -> [4.5, 6, 9, 10.5], NOT /3 everywhere)."""
+    nodes = [OnnxNode("AveragePool", ["x"], ["y"],
+                      attrs={"kernel_shape": [3], "pads": [1, 1],
+                             "strides": [1]})]
+    g = _graph({}, nodes, ["x"], ["y"])
+    x = np.asarray([[[3.0, 6.0, 9.0, 12.0]]], np.float32)
+    y = np.asarray(onnx_exec.OnnxRunner(g)({"x": x})[0])
+    np.testing.assert_allclose(y[0, 0], [4.5, 6.0, 9.0, 10.5], rtol=1e-6)
+    # count_include_pad=1 keeps the full-kernel divisor
+    nodes2 = [OnnxNode("AveragePool", ["x"], ["y"],
+                       attrs={"kernel_shape": [3], "pads": [1, 1],
+                              "strides": [1], "count_include_pad": 1})]
+    g2 = _graph({}, nodes2, ["x"], ["y"])
+    y2 = np.asarray(onnx_exec.OnnxRunner(g2)({"x": x})[0])
+    np.testing.assert_allclose(y2[0, 0], [3.0, 6.0, 9.0, 7.0], rtol=1e-6)
+    # unsupported pool modes fail loudly, not silently wrong
+    for bad_attrs in ({"kernel_shape": [3], "ceil_mode": 1},
+                      {"kernel_shape": [3], "auto_pad": "SAME_UPPER"}):
+        gb = _graph({}, [OnnxNode("AveragePool", ["x"], ["y"],
+                                  attrs=bad_attrs)], ["x"], ["y"])
+        with pytest.raises(ValueError):
+            onnx_exec.run(gb, {"x": x})
+
+
+def test_campplus_short_prompt_rejected():
+    from autostyle_tts_tpu.models.compat.campplus import (
+        FRAME_LEN, CampPlusCompat,
+    )
+    from autostyle_tts_tpu.utils.synth_release import (
+        SynthGeometry, build_campplus_onnx,
+    )
+
+    comp = CampPlusCompat(build_campplus_onnx(SynthGeometry()))
+    with pytest.raises(ValueError, match="too short"):
+        comp.embed_wav16(np.zeros(FRAME_LEN - 1, np.float32))
