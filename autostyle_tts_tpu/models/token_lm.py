@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import causal_mask, rope_table
-from ..ops.sampling import SamplerConfig, sample
+from ..ops.sampling import SamplerConfig, sample, transform_logits
 from ..utils.config import TokenLMConfig, TransformerConfig
 from . import transformer as core
 
@@ -494,7 +494,7 @@ def _lookup_draft(ctx: jnp.ndarray, w: jnp.ndarray, gamma: int) -> jnp.ndarray:
 @partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "gamma", "min_tokens",
-                     "kv_int8"),
+                     "kv_int8", "sampler"),
 )
 def generate_speech_spec(
     params: Params,
@@ -502,28 +502,40 @@ def generate_speech_spec(
     prefix: Prefix,
     style_tokens: jnp.ndarray,      # [1, T_sty] (the lookup corpus seed)
     style_len: jnp.ndarray,         # [1]
+    key: Optional[jax.Array] = None,   # required unless sampler.greedy
     *,
     max_new_tokens: int,
     gamma: int = 4,
     min_tokens: int = 2,
     kv_int8: bool = False,
+    sampler: SamplerConfig = SamplerConfig(greedy=True),
 ) -> SpecGen:
-    """GREEDY decode via prompt-lookup speculative verification, B=1.
+    """Decode via prompt-lookup speculative verification, B=1.
 
     Each iteration drafts `gamma` tokens from the speech context (style
     prompt + generated so far), runs ONE (gamma+1)-position verify forward —
     roughly the cost of a single decode step at small gamma (the weight
-    stream dominates; SURVEY decode analysis) — and commits the longest
-    prefix of drafts matching the model's own greedy choices plus the
-    model's next token. Output matches generate_speech greedy exactly in
-    every test, across random AND trained weights
-    (tests/test_spec_decode.py): drafting quality moves speed, never
-    content. Honest caveat: exactness relies on XLA producing the same f32
-    logits from the (gamma+1)-position verify program as from the T=1
-    decode program — a top-2 logit tie within reduction-order rounding
-    could flip one argmax (true of any speculative implementation whose
-    verify kernel differs from its decode kernel); validated on the CPU
-    mesh and the trained fixture, re-validate when enabling on TPU.
+    stream dominates; SURVEY decode analysis) — and commits the verified
+    prefix plus one model-chosen token.
+
+    GREEDY sampler (default): a draft is accepted iff it equals the model's
+    own argmax; output matches generate_speech greedy exactly in every test,
+    across random AND trained weights (tests/test_spec_decode.py) — drafting
+    quality moves speed, never content. Honest caveat: exactness relies on
+    XLA producing the same f32 logits from the (gamma+1)-position verify
+    program as from the T=1 decode program — a top-2 logit tie within
+    reduction-order rounding could flip one argmax (true of any speculative
+    implementation whose verify kernel differs from its decode kernel);
+    validated on the CPU mesh and the trained fixture, re-validate when
+    enabling on TPU.
+
+    SAMPLED: exact REJECTION sampling against the sampler's distribution p
+    (Leviathan et al.; the prompt-lookup draft is a point mass, so accept
+    draft d with probability p(d), and on rejection resample from p with d
+    removed, renormalized) — each emitted token is marginally distributed
+    exactly as the standard sampled path (tested distributionally), with
+    different randomness consumption (not bitwise the same stream).
+
     Expected speedup = mean committed per verify; ROADMAP notes acceptance
     needs trained weights to be meaningful — measured on the trained demo
     fixture in the tests."""
@@ -548,18 +560,25 @@ def generate_speech_spec(
     V = cfg.speech_vocab_size
     vj = jnp.arange(V)
 
-    def greedy(logits, n_before):
-        """[Q, V] -> [Q] greedy ids under the standard masking rules (padt /
-        BOS always suppressed; EOS before min_tokens; n_before = committed
-        count before this window's first position)."""
+    def masked(logits, n_before):
+        """[Q, V] logits under the standard masking rules (padt / BOS always
+        suppressed; EOS before min_tokens; n_before = committed count before
+        this window's first position)."""
         q = jnp.arange(logits.shape[0])
         l = jnp.where((vj == padt) | (vj == cfg.speech_bos), -1e30, logits)
         sup = (n_before + q)[:, None] < min_tokens
-        l = jnp.where(sup & (vj == eos)[None, :], -1e30, l)
-        return jnp.argmax(l, axis=-1).astype(jnp.int32)
+        return jnp.where(sup & (vj == eos)[None, :], -1e30, l)
+
+    if key is None:
+        key = jax.random.PRNGKey(0)            # unused under greedy
 
     first_logits = core.matmul_any(out.hidden[:, -1], head).astype(jnp.float32)
-    g0 = greedy(first_logits, jnp.int32(0))[0]
+    ml0 = masked(first_logits, jnp.int32(0))
+    if sampler.greedy:
+        g0 = jnp.argmax(ml0, -1)[0].astype(jnp.int32)
+    else:
+        key, k0 = jax.random.split(key)
+        g0 = sample(k0, ml0, sampler)[0]
     g0_eos = g0 == eos
 
     T_sty = style_tokens.shape[1]
@@ -580,11 +599,12 @@ def generate_speech_spec(
         g0,                                              # pending token
         jnp.int32(P),                                    # t_cache
         jnp.int32(0),                                    # n_verify
+        key,
     )
     qj = jnp.arange(gamma + 1, dtype=jnp.int32)
 
     def step(s):
-        cache, ctx, w, toks, n_gen, done, pending, t_cache, n_verify = s
+        cache, ctx, w, toks, n_gen, done, pending, t_cache, n_verify, key = s
         d = _lookup_draft(ctx, w, gamma)                    # [gamma]
         ids = jnp.concatenate([pending[None], d])           # [gamma+1]
         emb = params["speech_emb"][ids][None]               # [1, gamma+1, D]
@@ -596,33 +616,64 @@ def generate_speech_spec(
             cache=cache, cache_start=t_cache, skip_logits=True,
         )
         logits = core.matmul_any(o.hidden[0], head).astype(jnp.float32)
-        g = greedy(logits, n_gen)                           # [gamma+1]
-        # drafts d[0..gamma-1] accept while they match the model's choices
-        acc = jnp.cumprod((d == g[:gamma]).astype(jnp.int32))
-        a = jnp.sum(acc)                                    # accepted drafts
+        ml = masked(logits, n_gen)                          # [gamma+1, V]
+        if sampler.greedy:
+            # drafts accept while they match the model's own argmax
+            g = jnp.argmax(ml, -1).astype(jnp.int32)
+            acc = jnp.cumprod((d == g[:gamma]).astype(jnp.int32))
+            a = jnp.sum(acc)                                # accepted drafts
+            gvec = g
+        else:
+            # exact rejection sampling vs the sampler's categorical p: the
+            # draft is a point mass, so accept d_i with prob p_i(d_i); on
+            # the first rejection resample from p_a with d_a removed
+            # (renormalized residual); full acceptance earns the bonus
+            # token from p_gamma
+            tl = transform_logits(ml, sampler)
+            p = jax.nn.softmax(tl, axis=-1)
+            key, ku, kb = jax.random.split(key, 3)
+            u = jax.random.uniform(ku, (gamma,))
+            p_d = jnp.take_along_axis(p[:gamma], d[:, None], axis=1)[:, 0]
+            acc = jnp.cumprod((u < p_d).astype(jnp.int32))
+            a = jnp.sum(acc)
+            # residual in PROBABILITY space (p with the rejected draft
+            # removed; a == gamma keeps full p — the bonus draw). If the
+            # residual mass rounds to ~0 (p(d) ~ 1 yet u rejected), the
+            # draft itself is the only sane emission — never resample from
+            # an all-masked distribution.
+            d_a = d[jnp.minimum(a, gamma - 1)]
+            res = jnp.where((a < gamma) & (vj == d_a), 0.0, p[a])
+            safe = jnp.sum(res) > 1e-9
+            boundary = jnp.where(
+                safe,
+                jax.random.categorical(kb, jnp.log(res)).astype(jnp.int32),
+                d_a,
+            )
+            dpad = jnp.concatenate([d, d[-1:]])
+            gvec = jnp.where(qj < a, dpad, boundary)
         budget = jnp.int32(max_new_tokens) - n_gen
         ncommit = jnp.minimum(a + 1, budget)
         in_commit = qj < ncommit
-        is_eos_j = (g == eos) & in_commit
+        is_eos_j = (gvec == eos) & in_commit
         any_eos = jnp.any(is_eos_j)
         n_keep = jnp.where(any_eos, jnp.argmax(is_eos_j).astype(jnp.int32),
                            ncommit)
         # the standard loop leaves the EOS itself in the buffer at index
         # `length` (pad only after it) — keep bit-parity with that
-        window = jnp.where(qj < n_keep + any_eos, g, padt)
+        window = jnp.where(qj < n_keep + any_eos, gvec, padt)
         toks = jax.lax.dynamic_update_slice(toks, window, (n_gen,))
         ctx = jax.lax.dynamic_update_slice(
-            ctx, jnp.where(qj < n_keep, g, 0), (w,))
+            ctx, jnp.where(qj < n_keep, gvec, 0), (w,))
         return (
             o.cache, ctx, w + n_keep, toks, n_gen + n_keep,
-            done | any_eos, g[a], t_cache + a + 1, n_verify + 1,
+            done | any_eos, gvec[a], t_cache + a + 1, n_verify + 1, key,
         )
 
     def cond(s):
         _, _, _, _, n_gen, done, *_ = s
         return ~done & (n_gen < max_new_tokens)
 
-    (_, _, _, toks, n_gen, _, _, _, n_verify) = jax.lax.while_loop(
+    (_, _, _, toks, n_gen, _, _, _, n_verify, _) = jax.lax.while_loop(
         cond, step, state0
     )
     return SpecGen(
@@ -634,7 +685,7 @@ def generate_speech_spec(
 @partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "gamma", "min_tokens",
-                     "kv_int8", "pad_multiple"),
+                     "kv_int8", "pad_multiple", "sampler"),
 )
 def generate_speech_spec_from_ids(
     params: Params,
@@ -644,22 +695,24 @@ def generate_speech_spec_from_ids(
     style_tokens: jnp.ndarray,
     style_len: jnp.ndarray,
     spk: jnp.ndarray,
+    key: Optional[jax.Array] = None,
     *,
     max_new_tokens: int,
     gamma: int = 4,
     min_tokens: int = 2,
     kv_int8: bool = False,
     pad_multiple: int = 128,
+    sampler: SamplerConfig = SamplerConfig(greedy=True),
 ) -> SpecGen:
-    """Prefix assembly + prefill + speculative greedy decode, ONE program
+    """Prefix assembly + prefill + speculative decode, ONE program
     (the from_ids convention — each extra submission costs a tunnel RTT)."""
     pre = build_prefix(params, cfg, text, text_len, style_tokens, style_len,
                        spk)
     pre = pad_prefix(pre, multiple=pad_multiple)
     return generate_speech_spec(
-        params, cfg, pre, style_tokens, style_len,
+        params, cfg, pre, style_tokens, style_len, key,
         max_new_tokens=max_new_tokens, gamma=gamma, min_tokens=min_tokens,
-        kv_int8=kv_int8,
+        kv_int8=kv_int8, sampler=sampler,
     )
 
 

@@ -73,15 +73,24 @@ def _apply_top_p(logits: jnp.ndarray, p: float, cap: int = 0) -> jnp.ndarray:
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
+def transform_logits(logits: jnp.ndarray, cfg: SamplerConfig) -> jnp.ndarray:
+    """Apply the sampler's temperature/top-k/top-p transforms; the final
+    token law is categorical(softmax(result)). Factored out so rejection
+    sampling (speculative decode) can reuse the exact distribution."""
+    logits = logits / jnp.maximum(cfg.temperature, 1e-6)
+    if cfg.top_k and cfg.top_k > 0:
+        logits = _apply_top_k(logits, cfg.top_k)
+    if cfg.top_p < 1.0:
+        logits = _apply_top_p(logits, cfg.top_p, cap=cfg.top_p_cap)
+    return logits
+
+
 def sample(
     key: jax.Array, logits: jnp.ndarray, cfg: SamplerConfig
 ) -> jnp.ndarray:
     """logits [..., V] -> token ids [...] (int32)."""
     if cfg.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / jnp.maximum(cfg.temperature, 1e-6)
-    if cfg.top_k and cfg.top_k > 0:
-        logits = _apply_top_k(logits, cfg.top_k)
-    if cfg.top_p < 1.0:
-        logits = _apply_top_p(logits, cfg.top_p, cap=cfg.top_p_cap)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        key, transform_logits(logits, cfg), axis=-1
+    ).astype(jnp.int32)

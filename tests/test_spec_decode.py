@@ -197,3 +197,54 @@ def test_engine_speculative_mode_deterministic_across_gamma():
         assert np.isfinite(out[0]).all() and out[0].size > 0
         wavs[gamma] = out[0]
     np.testing.assert_array_equal(wavs[3], wavs[6])
+
+
+def test_spec_sampled_topk1_equals_greedy(setup):
+    """top_k=1 sampling is argmax: the rejection-sampling path must emit
+    exactly the greedy-spec tokens."""
+    cfg, params = setup
+    text, t_len, sty, s_len, spk = _prompt(13, cfg=cfg)
+    ref = token_lm.generate_speech_spec_from_ids(
+        params, cfg, text, t_len, sty, s_len, spk,
+        max_new_tokens=24, gamma=4, pad_multiple=16,
+    )
+    got = token_lm.generate_speech_spec_from_ids(
+        params, cfg, text, t_len, sty, s_len, spk, jax.random.PRNGKey(5),
+        max_new_tokens=24, gamma=4, pad_multiple=16,
+        sampler=SamplerConfig(temperature=1.0, top_k=1),
+    )
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    assert int(got.lengths[0]) == int(ref.lengths[0])
+
+
+def test_spec_sampled_preserves_marginal_distribution(setup):
+    """Rejection sampling against a point-mass draft must leave each token's
+    law exactly the sampler's categorical: the joint (token0, token1)
+    empirical distribution over many runs matches the standard sampled
+    path's within sampling noise."""
+    cfg, params = setup
+    text, t_len, sty, s_len, spk = _prompt(17, cfg=cfg)
+    sampler = SamplerConfig(temperature=1.2, top_k=4)
+    N = 1200
+    from collections import Counter
+
+    spec_c: Counter = Counter()
+    std_c: Counter = Counter()
+    for i in range(N):
+        g = token_lm.generate_speech_spec_from_ids(
+            params, cfg, text, t_len, sty, s_len, spk,
+            jax.random.PRNGKey(1000 + i),
+            max_new_tokens=2, gamma=3, pad_multiple=16, sampler=sampler,
+        )
+        tg = np.asarray(g.tokens)[0]
+        spec_c[(int(tg[0]), int(tg[1]))] += 1
+        r = token_lm.generate_speech_from_ids(
+            params, cfg, text, t_len, sty, s_len, spk,
+            jax.random.PRNGKey(500_000 + i),
+            max_new_tokens=2, sampler=sampler, pad_multiple=16,
+        )
+        tr = np.asarray(r.tokens)[0]
+        std_c[(int(tr[0]), int(tr[1]))] += 1
+    keys = set(spec_c) | set(std_c)
+    tv = 0.5 * sum(abs(spec_c[k] - std_c[k]) for k in keys) / N
+    assert tv < 0.15, (tv, dict(spec_c), dict(std_c))
