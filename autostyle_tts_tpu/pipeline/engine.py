@@ -493,7 +493,9 @@ class Engine:
             sty_lens[i] = n
         max_new = _bucket(int(max_seconds * tl.token_rate), GEN_BUCKETS)
         spec_gamma = getattr(self.cfg, "speculative_gamma", 0)
-        if spec_gamma > 0 and B == 1:
+        # single-chip B=1 latency feature: sharded engines stay on the
+        # standard GSPMD generate path
+        if spec_gamma > 0 and B == 1 and self.mesh is None:
             # prompt-lookup speculative decode (greedy-only; bit-identical
             # to the standard greedy path — config.speculative_gamma doc)
             with self.watch.span("lm_generate"):
