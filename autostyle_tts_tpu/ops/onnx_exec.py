@@ -297,8 +297,59 @@ OPS: Dict[str, Callable] = {
     "Where": lambda g, n: jnp.where(g(n.inputs[0]), g(n.inputs[1]),
                                     g(n.inputs[2])),
     "Equal": lambda g, n: g(n.inputs[0]) == g(n.inputs[1]),
+    "Less": lambda g, n: g(n.inputs[0]) < g(n.inputs[1]),
+    "Greater": lambda g, n: g(n.inputs[0]) > g(n.inputs[1]),
+    "LessOrEqual": lambda g, n: g(n.inputs[0]) <= g(n.inputs[1]),
+    "GreaterOrEqual": lambda g, n: g(n.inputs[0]) >= g(n.inputs[1]),
+    "Not": lambda g, n: jnp.logical_not(g(n.inputs[0])),
+    "And": lambda g, n: jnp.logical_and(g(n.inputs[0]), g(n.inputs[1])),
+    "Or": lambda g, n: jnp.logical_or(g(n.inputs[0]), g(n.inputs[1])),
+    "Min": lambda g, n: _variadic(g, n, jnp.minimum),
+    "Max": lambda g, n: _variadic(g, n, jnp.maximum),
+    # the real speech-tokenizer export's VQ is a nearest-codebook ArgMin
+    "ArgMax": lambda g, n: _arg_reduce(g, n, jnp.argmax),
+    "ArgMin": lambda g, n: _arg_reduce(g, n, jnp.argmin),
+    "Pad": lambda g, n: _pad(g, n),
     "Split": None,      # handled in run() (multi-output)
 }
+
+
+def _variadic(g, n: OnnxNode, fn):
+    out = g(n.inputs[0])
+    for i in n.inputs[1:]:
+        out = fn(out, g(i))
+    return out
+
+
+def _arg_reduce(g, n: OnnxNode, fn):
+    x = g(n.inputs[0])
+    axis = int(n.attrs.get("axis", 0))
+    if int(n.attrs.get("select_last_index", 0)):
+        raise ValueError("Arg{Max,Min} select_last_index is not supported")
+    out = fn(x, axis=axis).astype(jnp.int64)
+    if int(n.attrs.get("keepdims", 1)):
+        out = jnp.expand_dims(out, axis)
+    return out
+
+
+def _pad(g, n: OnnxNode):
+    x = g(n.inputs[0])
+    mode = n.attrs.get("mode", "constant")
+    if len(n.inputs) > 1 and n.inputs[1]:
+        pads = _static_int_list(g(n.inputs[1]), "Pad pads")
+    else:
+        pads = list(n.attrs["pads"])
+    value = 0.0
+    if len(n.inputs) > 2 and n.inputs[2]:
+        value = float(np.asarray(g(n.inputs[2])).reshape(-1)[0])
+    nd = x.ndim
+    widths = [(pads[i], pads[i + nd]) for i in range(nd)]
+    if mode == "constant":
+        return jnp.pad(x, widths, constant_values=value)
+    if mode in ("reflect", "edge"):
+        return jnp.pad(x, widths, mode="reflect" if mode == "reflect"
+                       else "edge")
+    raise ValueError(f"Pad mode {mode!r} is not supported")
 
 
 def _instancenorm(g, n: OnnxNode):

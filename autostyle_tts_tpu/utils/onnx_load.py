@@ -101,8 +101,13 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
             dtype = _varint_value(payload)
         elif fno == 4:  # float_data (packed or repeated i32)
             floats.append(payload)
-        elif fno == 7:  # int64_data
-            int64s.append(payload)
+        elif fno == 7:  # int64_data (repeated varint or packed)
+            if wt == _WT_VARINT:
+                # _fields already decoded the varint to little-endian value
+                # bytes — mark with None so the collector reads it as such
+                int64s.append((None, payload))
+            else:
+                int64s.append(("packed", payload))
         elif fno == 8:
             name = payload.decode("utf-8")
         elif fno == 9:
@@ -116,11 +121,16 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
         arr = np.frombuffer(b"".join(floats), dtype=np.float32).astype(np_dtype)
     elif int64s:
         vals = []
-        for chunk in int64s:
-            i = 0
-            while i < len(chunk):
-                v, i = _read_varint(chunk, i)
-                vals.append(v)
+        for kind, chunk in int64s:
+            if kind is None:
+                vals.append(_varint_value(chunk))
+            else:
+                i = 0
+                while i < len(chunk):
+                    v, i = _read_varint(chunk, i)
+                    vals.append(v)
+        # two's-complement for negative int64 (e.g. -1 axes/shape entries)
+        vals = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
         arr = np.asarray(vals, np.int64).astype(np_dtype)
     else:
         arr = np.zeros(0, np_dtype)
@@ -186,11 +196,18 @@ def _parse_attribute(buf: bytes) -> Tuple[str, Any]:
         elif fno == 7:   # floats: packed or repeated fixed32
             for i in range(0, len(payload), 4):
                 floats.append(struct.unpack("<f", payload[i : i + 4])[0])
-        elif fno == 8:   # ints: packed varints or repeated
-            i = 0
-            while i < len(payload):
-                v, i = _read_varint(payload, i)
+        elif fno == 8:   # ints: repeated varint or packed
+            if wt == _WT_VARINT:
+                # _fields already decoded the varint to little-endian
+                # VALUE bytes — re-parsing them as varints breaks for
+                # values >= 128 (e.g. negative axes in 2's complement)
+                v = _varint_value(payload)
                 ints.append(v - (1 << 64) if v >= (1 << 63) else v)
+            else:
+                i = 0
+                while i < len(payload):
+                    v, i = _read_varint(payload, i)
+                    ints.append(v - (1 << 64) if v >= (1 << 63) else v)
         elif fno == 9:
             strings.append(payload)
     if floats:

@@ -272,3 +272,47 @@ def test_campplus_short_prompt_rejected():
     comp = CampPlusCompat(build_campplus_onnx(SynthGeometry()))
     with pytest.raises(ValueError, match="too short"):
         comp.embed_wav16(np.zeros(FRAME_LEN - 1, np.float32))
+
+
+def test_exec_vq_argmin_and_pad():
+    """The ops a real S3-tokenizer VQ export needs: nearest-codebook lookup
+    as Sub/Mul/ReduceSum/ArgMin, plus constant Pad — pinned vs numpy."""
+    rng = np.random.default_rng(5)
+    cb = rng.standard_normal((7, 4)).astype(np.float32)      # [K, D]
+    nodes = [
+        # pairwise sq-dists: x [B,T,1,D] - cb [K,D] -> [B,T,K,D]
+        OnnxNode("Unsqueeze", ["x", "two"], ["xu"]),
+        OnnxNode("Sub", ["xu", "cb"], ["dlt"]),
+        OnnxNode("Mul", ["dlt", "dlt"], ["sq"]),
+        OnnxNode("ReduceSum", ["sq"], ["d2"],
+                 attrs={"axes": [-1], "keepdims": 0}),
+        OnnxNode("ArgMin", ["d2"], ["code"],
+                 attrs={"axis": -1, "keepdims": 0}),
+        OnnxNode("Pad", ["code", "padspec"], ["y"],
+                 attrs={"mode": "constant"}),
+    ]
+    tensors = {
+        "cb": cb,
+        "two": np.asarray([2], np.int64),
+        "padspec": np.asarray([0, 1, 0, 2], np.int64),   # pad T by (1, 2)
+    }
+    g = _graph(tensors, nodes, ["x"], ["y"])
+    assert onnx_exec.unsupported_ops(g) == []
+    x = rng.standard_normal((1, 5, 4)).astype(np.float32)
+    y = np.asarray(onnx_exec.OnnxRunner(g)({"x": x})[0])
+    d2 = ((x[:, :, None, :] - cb[None, None]) ** 2).sum(-1)
+    ref = np.pad(d2.argmin(-1), ((0, 0), (1, 2)))
+    np.testing.assert_array_equal(y, ref)
+
+
+def test_exec_comparisons_and_where():
+    nodes = [
+        OnnxNode("Greater", ["x", "thr"], ["m"]),
+        OnnxNode("Where", ["m", "x", "zero"], ["y"]),
+    ]
+    tensors = {"thr": np.asarray(0.5, np.float32),
+               "zero": np.asarray(0.0, np.float32)}
+    g = _graph(tensors, nodes, ["x"], ["y"])
+    x = np.asarray([[0.2, 0.7, 1.4, -3.0]], np.float32)
+    y = np.asarray(onnx_exec.OnnxRunner(g)({"x": x})[0])
+    np.testing.assert_allclose(y, [[0.0, 0.7, 1.4, 0.0]])
