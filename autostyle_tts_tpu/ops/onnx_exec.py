@@ -310,6 +310,19 @@ OPS: Dict[str, Callable] = {
     "ArgMax": lambda g, n: _arg_reduce(g, n, jnp.argmax),
     "ArgMin": lambda g, n: _arg_reduce(g, n, jnp.argmin),
     "Pad": lambda g, n: _pad(g, n),
+    # transformer-export staples: attention einsums, in-graph positional
+    # tables, Trilu causal masks
+    "Einsum": lambda g, n: jnp.einsum(
+        n.attrs["equation"], *(g(i) for i in n.inputs)),
+    "Sin": lambda g, n: jnp.sin(g(n.inputs[0])),
+    "Cos": lambda g, n: jnp.cos(g(n.inputs[0])),
+    "Trilu": lambda g, n: (
+        jnp.triu if int(n.attrs.get("upper", 1)) else jnp.tril
+    )(
+        g(n.inputs[0]),
+        int(np.asarray(g(n.inputs[1])).reshape(-1)[0])
+        if len(n.inputs) > 1 and n.inputs[1] else 0,
+    ),
     "Split": None,      # handled in run() (multi-output)
 }
 

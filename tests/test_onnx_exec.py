@@ -316,3 +316,25 @@ def test_exec_comparisons_and_where():
     x = np.asarray([[0.2, 0.7, 1.4, -3.0]], np.float32)
     y = np.asarray(onnx_exec.OnnxRunner(g)({"x": x})[0])
     np.testing.assert_allclose(y, [[0.0, 0.7, 1.4, 0.0]])
+
+
+def test_exec_einsum_trilu_sincos():
+    """Transformer-export staples: attention einsum, Trilu causal mask,
+    in-graph sinusoid tables."""
+    rng = np.random.default_rng(6)
+    nodes = [
+        OnnxNode("Einsum", ["q", "k"], ["s"],
+                 attrs={"equation": "bthd,bshd->bhts"}),
+        OnnxNode("Sin", ["s"], ["ss"]),
+        OnnxNode("Cos", ["s"], ["cc"]),
+        OnnxNode("Mul", ["ss", "cc"], ["m"]),
+        OnnxNode("Trilu", ["m"], ["y"], attrs={"upper": 0}),
+    ]
+    g = _graph({}, nodes, ["q", "k"], ["y"])
+    assert onnx_exec.unsupported_ops(g) == []
+    q = rng.standard_normal((1, 3, 2, 4)).astype(np.float32)
+    k = rng.standard_normal((1, 3, 2, 4)).astype(np.float32)
+    y = np.asarray(onnx_exec.OnnxRunner(g)({"q": q, "k": k})[0])
+    s = np.einsum("bthd,bshd->bhts", q, k)
+    ref = np.tril(np.sin(s) * np.cos(s))
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
