@@ -588,11 +588,47 @@ def bench_embedder_7b():
     return out
 
 
+def _device_watchdog(timeout_s: int = 900) -> None:
+    """The tunneled device can WEDGE (every op hangs indefinitely — observed
+    for hours at a time; no client-side recovery). Probe it with a bounded
+    wait in a side thread so a wedged device yields a diagnostic JSON line
+    instead of hanging the whole bench run. 15 min is far beyond any healthy
+    first-compile (~100 s worst observed), so a healthy chip never trips."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((128, 128))
+        np.asarray((x @ x).sum())
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not ok.wait(timeout_s):
+        print(json.dumps({
+            "metric": "tts_with_st_e2e_p50_latency",
+            "value": -1.0,
+            "unit": "s/utt",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"device unresponsive: first 128x128 matmul "
+                               f"did not complete within {timeout_s}s "
+                               f"(wedged tunnel)"},
+        }))
+        sys.stdout.flush()
+        os._exit(0)
+
+
 def main() -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _mark("device_watchdog")
+    _device_watchdog()
 
     from autostyle_tts_tpu.pipeline import Engine
     from autostyle_tts_tpu.utils.config import Config
