@@ -248,3 +248,28 @@ def test_spec_sampled_preserves_marginal_distribution(setup):
     keys = set(spec_c) | set(std_c)
     tv = 0.5 * sum(abs(spec_c[k] - std_c[k]) for k in keys) / N
     assert tv < 0.15, (tv, dict(spec_c), dict(std_c))
+
+
+def test_spec_empty_style_context(setup):
+    """Zero style tokens: the lookup context starts empty; drafting must
+    fall back gracefully and parity must still hold."""
+    cfg, params = setup
+    rng = np.random.default_rng(23)
+    text = jnp.asarray(rng.integers(1, cfg.text_vocab_size, (1, 8)).astype(np.int32))
+    t_len = jnp.asarray([6], jnp.int32)
+    sty = jnp.zeros((1, 4), jnp.int32)
+    s_len = jnp.asarray([0], jnp.int32)
+    spk = jnp.asarray(rng.standard_normal((1, cfg.spk_dim)).astype(np.float32) * 0.2)
+    ref = token_lm.generate_speech_from_ids(
+        params, cfg, text, t_len, sty, s_len, spk, jax.random.PRNGKey(1),
+        max_new_tokens=16, sampler=SamplerConfig(greedy=True),
+        pad_multiple=16,
+    )
+    spec = token_lm.generate_speech_spec_from_ids(
+        params, cfg, text, t_len, sty, s_len, spk,
+        max_new_tokens=16, gamma=4, pad_multiple=16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(spec.tokens)[0], np.asarray(ref.tokens)[0]
+    )
+    assert int(spec.lengths[0]) == int(ref.lengths[0])
