@@ -221,9 +221,7 @@ OPS: Dict[str, Callable] = {
     "Relu": lambda g, n: jax.nn.relu(g(n.inputs[0])),
     "LeakyRelu": lambda g, n: jax.nn.leaky_relu(
         g(n.inputs[0]), float(n.attrs.get("alpha", 0.01))),
-    "PRelu": lambda g, n: jnp.where(
-        g(n.inputs[0]) >= 0, g(n.inputs[0]),
-        g(n.inputs[1]) * g(n.inputs[0])),
+    "PRelu": lambda g, n: _prelu(g(n.inputs[0]), g(n.inputs[1])),
     "Elu": lambda g, n: jax.nn.elu(g(n.inputs[0]),
                                    float(n.attrs.get("alpha", 1.0))),
     "Gelu": lambda g, n: jax.nn.gelu(
@@ -271,9 +269,8 @@ OPS: Dict[str, Callable] = {
         tuple(_unsqueeze_axes(g, n)) if (
             len(n.inputs) > 1 and n.inputs[1]) or "axes" in n.attrs
         else None),
-    "Gather": lambda g, n: jnp.take(
-        g(n.inputs[0]), jnp.asarray(g(n.inputs[1])),
-        axis=int(n.attrs.get("axis", 0))),
+    "Gather": lambda g, n: _gather(
+        g(n.inputs[0]), g(n.inputs[1]), int(n.attrs.get("axis", 0))),
     "Cast": lambda g, n: jnp.asarray(g(n.inputs[0])).astype(
         _DTYPE_OF_ONNX[int(n.attrs["to"])]),
     "Identity": lambda g, n: g(n.inputs[0]),
@@ -284,7 +281,9 @@ OPS: Dict[str, Callable] = {
     "Shape": lambda g, n: np.asarray(g(n.inputs[0]).shape, np.int64),
     "ConstantOfShape": lambda g, n: np.full(
         _static_int_list(g(n.inputs[0]), "ConstantOfShape shape"),
-        (n.attrs["value"].reshape(-1)[0] if "value" in n.attrs else 0.0)),
+        n.attrs["value"].reshape(-1)[0] if "value" in n.attrs
+        else np.float32(0),
+    ),   # np.full keeps the fill value's dtype (spec: f32 when no value)
     "Expand": lambda g, n: jnp.broadcast_to(
         g(n.inputs[0]),
         np.broadcast_shapes(
@@ -325,6 +324,22 @@ OPS: Dict[str, Callable] = {
     ),
     "Split": None,      # handled in run() (multi-output)
 }
+
+
+def _prelu(x, slope):
+    """ONNX PRelu: a [C] slope broadcasts against the CHANNEL dim of an
+    NC* tensor (unidirectional broadcast), not numpy's trailing-dim rule."""
+    if slope.ndim == 1 and x.ndim > 2 and slope.shape[0] == x.shape[1]:
+        slope = slope.reshape((1, -1) + (1,) * (x.ndim - 2))
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _gather(x, idx, axis: int):
+    """ONNX Gather allows negative indices (python-style); jnp.take CLAMPS
+    out-of-bounds — including negatives — so normalize first."""
+    idx = jnp.asarray(idx)
+    idx = jnp.where(idx < 0, idx + x.shape[axis], idx)
+    return jnp.take(x, idx, axis=axis)
 
 
 def _variadic(g, n: OnnxNode, fn):

@@ -338,3 +338,28 @@ def test_exec_einsum_trilu_sincos():
     s = np.einsum("bthd,bshd->bhts", q, k)
     ref = np.tril(np.sin(s) * np.cos(s))
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_exec_gather_negative_index_and_prelu_channel_slope():
+    """Gather with a negative index must wrap (jnp.take would clamp it to
+    0); PRelu's [C] slope broadcasts against the CHANNEL dim of NC*."""
+    rng = np.random.default_rng(8)
+    slope = np.asarray([0.1, 0.5, 2.0], np.float32)
+    nodes = [
+        OnnxNode("Shape", ["x"], ["shp"]),
+        OnnxNode("Gather", ["shp", "neg1"], ["last_dim"], attrs={"axis": 0}),
+        OnnxNode("PRelu", ["x", "slope"], ["p"]),
+        OnnxNode("ReduceSum", ["p"], ["s"], attrs={"keepdims": 0}),
+    ]
+    tensors = {"neg1": np.asarray(-1, np.int64), "slope": slope}
+    g = _graph(tensors, nodes, ["x"], ["last_dim", "s"])
+    x = rng.standard_normal((1, 3, 5)).astype(np.float32)
+    last_dim, s = onnx_exec.OnnxRunner(g)({"x": x})
+    assert int(np.asarray(last_dim)) == 5
+    ref = np.where(x >= 0, x, slope[None, :, None] * x).sum()
+    np.testing.assert_allclose(float(np.asarray(s)), ref, rtol=1e-5)
+    # traced-gather negatives too (not just the static fold)
+    nodes2 = [OnnxNode("Gather", ["x", "neg1"], ["y"], attrs={"axis": 2})]
+    g2 = _graph({"neg1": np.asarray(-1, np.int64)}, nodes2, ["x"], ["y"])
+    y = np.asarray(onnx_exec.OnnxRunner(g2)({"x": x})[0])
+    np.testing.assert_allclose(y, x[:, :, -1], rtol=1e-6)
