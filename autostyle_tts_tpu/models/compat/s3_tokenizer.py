@@ -81,7 +81,14 @@ def encode(
     # otherwise leak pad content into the last real tokens
     mel = mel * mask[..., None]
     h = jax.nn.gelu(conv1d(mel, tree["conv1"]))
-    h = jax.nn.gelu(conv1d(h, tree["conv2"], stride=cfg.conv2_stride))
+    # EXPLICIT (1, 1) padding, not XLA SAME: whisper's stride-2 conv is
+    # torch Conv1d(k=3, stride=2, padding=1), whose windows anchor at
+    # -1, 1, 3, ... — XLA SAME pads (0, 1) for even T and anchors at
+    # 0, 2, 4, ..., a one-frame shift against the upstream weights
+    # (caught by the graph-vs-rules cross-validation, test_onnx_exec.py)
+    h = jax.nn.gelu(
+        conv1d(h, tree["conv2"], stride=cfg.conv2_stride, padding=(1, 1))
+    )
     B, T2, D = h.shape
     # prefer the exported positional table (if the ONNX carried it as an
     # initializer); fall back to the same fixed sinusoid whisper computes

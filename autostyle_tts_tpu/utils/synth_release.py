@@ -351,6 +351,118 @@ def build_tokenizer_onnx(g: SynthGeometry, seed: int = 3) -> Dict:
     return sd
 
 
+def build_tokenizer_graph_onnx(g: SynthGeometry, seed: int = 3) -> bytes:
+    """The SAME tokenizer tensors as build_tokenizer_onnx (identical seed =
+    identical weights), but with the whisper-encoder compute expressed as
+    REAL NodeProtos. Exists for cross-validation: the rule-converted native
+    module (models/compat/s3_tokenizer) and the graph executor
+    (ops/onnx_exec) must produce the same tokens from the same artifact —
+    two independent serving paths checking each other
+    (tests/test_onnx_exec.py)."""
+    import numpy as np
+
+    from .onnx_load import OnnxNode, write_onnx_model
+
+    sd = build_tokenizer_onnx(g, seed)
+    D = g.flow_dim
+    H, hd = 2, D // 2
+    t = dict(sd)
+    t["scale"] = np.asarray(hd ** -0.5, np.float32)
+    t["zero"] = np.asarray([0], np.int64)
+    t["one_ax"] = np.asarray([1], np.int64)
+    t["two"] = np.asarray([2], np.int64)
+    t["head_shape_tail"] = np.asarray([H, hd], np.int64)
+    t["flat_tail"] = np.asarray([D], np.int64)
+    N = OnnxNode
+    nodes = [
+        # conv stem (ONNX NCT; torch conv layouts consumed directly)
+        N("Transpose", ["mel"], ["x0"], attrs={"perm": [0, 2, 1]}),
+        N("Conv", ["x0", "encoder.conv1.weight", "encoder.conv1.bias"],
+          ["c1"], attrs={"kernel_shape": [3], "pads": [1, 1],
+                         "strides": [1], "dilations": [1], "group": 1}),
+        N("Gelu", ["c1"], ["g1"], attrs={"approximate": "tanh"}),
+        N("Conv", ["g1", "encoder.conv2.weight", "encoder.conv2.bias"],
+          ["c2"], attrs={"kernel_shape": [3], "pads": [1, 1],
+                         "strides": [2], "dilations": [1], "group": 1}),
+        N("Gelu", ["c2"], ["g2"], attrs={"approximate": "tanh"}),
+        N("Transpose", ["g2"], ["h0"], attrs={"perm": [0, 2, 1]}),
+        # positions: pos_emb[:T2] via static-folded Shape -> Slice
+        N("Shape", ["h0"], ["hshp"]),
+        N("Gather", ["hshp", "one_ax"], ["t2"], attrs={"axis": 0}),
+        N("Slice",
+          ["encoder.positional_embedding", "zero", "t2", "zero"], ["pe"]),
+        N("Add", ["h0", "pe"], ["h1"]),
+        # head reshape target [1, T2, H, hd] (batch/T from Shape fold)
+        N("Slice", ["hshp", "zero", "two", "zero"], ["bt"]),
+        N("Concat", ["bt", "head_shape_tail"], ["hshape"],
+          attrs={"axis": 0}),
+        N("Concat", ["bt", "flat_tail"], ["fshape"], attrs={"axis": 0}),
+    ]
+
+    def block(i: int, hin: str, hout: str):
+        e = f"encoder.blocks.{i}"
+        p = f"b{i}_"
+        out = [
+            N("LayerNormalization",
+              [hin, f"{e}.attn_ln.weight", f"{e}.attn_ln.bias"], [p + "n"]),
+        ]
+        for nm, dst, bias in (("attn.query", "q", True),
+                              ("attn.key", "k", False),
+                              ("attn.value", "v", True)):
+            out.append(N("Transpose", [f"{e}.{nm}.weight"], [p + dst + "wt"],
+                         attrs={"perm": [1, 0]}))
+            out.append(N("MatMul", [p + "n", p + dst + "wt"],
+                         [p + dst + ("0" if bias else "h")]))
+            if bias:
+                out.append(N("Add", [p + dst + "0", f"{e}.{nm}.bias"],
+                             [p + dst + "h"]))
+            out.append(N("Reshape", [p + dst + "h", "hshape"], [p + dst]))
+        out += [
+            N("Einsum", [p + "q", p + "k"], [p + "s0"],
+              attrs={"equation": "bthd,bshd->bhts"}),
+            N("Mul", [p + "s0", "scale"], [p + "s"]),
+            N("Softmax", [p + "s"], [p + "pr"], attrs={"axis": -1}),
+            N("Einsum", [p + "pr", p + "v"], [p + "att0"],
+              attrs={"equation": "bhts,bshd->bthd"}),
+            N("Reshape", [p + "att0", "fshape"], [p + "att"]),
+            N("Transpose", [f"{e}.attn.out.weight"], [p + "owt"],
+              attrs={"perm": [1, 0]}),
+            N("MatMul", [p + "att", p + "owt"], [p + "o0"]),
+            N("Add", [p + "o0", f"{e}.attn.out.bias"], [p + "o1"]),
+            N("Add", [hin, p + "o1"], [p + "h1"]),
+            N("LayerNormalization",
+              [p + "h1", f"{e}.mlp_ln.weight", f"{e}.mlp_ln.bias"],
+              [p + "n2"]),
+            N("Transpose", [f"{e}.mlp.0.weight"], [p + "m1wt"],
+              attrs={"perm": [1, 0]}),
+            N("MatMul", [p + "n2", p + "m1wt"], [p + "m10"]),
+            N("Add", [p + "m10", f"{e}.mlp.0.bias"], [p + "m11"]),
+            N("Gelu", [p + "m11"], [p + "m1g"],
+              attrs={"approximate": "tanh"}),
+            N("Transpose", [f"{e}.mlp.2.weight"], [p + "m2wt"],
+              attrs={"perm": [1, 0]}),
+            N("MatMul", [p + "m1g", p + "m2wt"], [p + "m20"]),
+            N("Add", [p + "m20", f"{e}.mlp.2.bias"], [p + "m21"]),
+            N("Add", [p + "h1", p + "m21"], [hout]),
+        ]
+        return out
+
+    nodes += block(0, "h1", "h2")
+    nodes += block(1, "h2", "h3")
+    nodes += [
+        N("LayerNormalization",
+          ["h3", "encoder.ln_post.weight", "encoder.ln_post.bias"],
+          ["hidden"]),
+        # VQ: nearest codebook row by L2
+        N("Unsqueeze", ["hidden", "two"], ["hu"]),
+        N("Sub", ["hu", "quantizer._codebook.embed"], ["dlt"]),
+        N("Mul", ["dlt", "dlt"], ["sq"]),
+        N("ReduceSum", ["sq"], ["d2"], attrs={"axes": [-1], "keepdims": 0}),
+        N("ArgMin", ["d2"], ["tokens"], attrs={"axis": -1, "keepdims": 0}),
+    ]
+    return write_onnx_model(None, t, nodes, ["mel"], ["tokens", "hidden"])
+
+
 def build_campplus_onnx(g: SynthGeometry, seed: int = 4) -> bytes:
     """CAM++-shaped speaker-embedding GRAPH (not just tensors): conv1d
     front-end -> dilated D-TDNN-ish block -> context gate (the CAM flavor:

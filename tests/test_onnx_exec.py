@@ -363,3 +363,40 @@ def test_exec_gather_negative_index_and_prelu_channel_slope():
     g2 = _graph({"neg1": np.asarray(-1, np.int64)}, nodes2, ["x"], ["y"])
     y = np.asarray(onnx_exec.OnnxRunner(g2)({"x": x})[0])
     np.testing.assert_allclose(y, x[:, :, -1], rtol=1e-6)
+
+
+def test_s3_tokenizer_graph_vs_rules_cross_validation():
+    """Two INDEPENDENT serving paths over the same tokenizer artifact must
+    agree: rule-converted native module (models/compat/s3_tokenizer) vs the
+    node graph executed by ops/onnx_exec. Same weights (same seed), full
+    mask — tokens must match exactly. This is the cross-check that caught
+    the native module's stride-2 conv padding mismatch (XLA SAME vs torch
+    Conv1d(padding=1))."""
+    from autostyle_tts_tpu.models.compat import s3_tokenizer
+    from autostyle_tts_tpu.utils import cosyvoice_convert as cc
+    from autostyle_tts_tpu.utils.synth_release import (
+        SynthGeometry, build_tokenizer_graph_onnx, build_tokenizer_onnx,
+    )
+
+    geo = SynthGeometry()
+    # rules path
+    sd = build_tokenizer_onnx(geo, seed=3)
+    tree, report = cc.apply_rules(
+        sd, cc.RULESETS["speech_tokenizer_v1.onnx"]
+    )
+    assert report.unmapped_src == []
+    tj = jax.tree.map(jnp.asarray, tree)
+    cfg = s3_tokenizer.infer_config(tj, n_heads=2)
+    rng = np.random.default_rng(4)
+    mel = rng.standard_normal((1, 12, geo.n_mels)).astype(np.float32)
+    mask = jnp.ones((1, 12), jnp.float32)
+    toks_native, _ = s3_tokenizer.encode(tj, cfg, jnp.asarray(mel), mask)
+
+    # graph path (same seed = identical weights)
+    g = load_onnx_graph(build_tokenizer_graph_onnx(geo, seed=3))
+    assert onnx_exec.unsupported_ops(g) == []
+    toks_graph, hidden = onnx_exec.OnnxRunner(g)({"mel": mel})
+    assert np.isfinite(np.asarray(hidden)).all()
+    np.testing.assert_array_equal(
+        np.asarray(toks_native)[0], np.asarray(toks_graph)[0]
+    )
