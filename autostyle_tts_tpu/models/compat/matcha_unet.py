@@ -152,8 +152,13 @@ def estimator_apply(
             h = _tf_block(h, tf, m, cfg.n_heads)
         hiddens.append(h)
         last = i == len(downs) - 1
+        # diffusers Downsample1D is torch Conv1d(k=3, stride=2, padding=1):
+        # explicit (1, 1), not XLA SAME — SAME pads (0, 1) for even F and
+        # shifts every window one frame against the upstream weights (same
+        # class of bug the s3 tokenizer cross-validation caught)
         h = conv1d(h * m[..., None], stage["down"],
-                   stride=1 if last else 2)
+                   stride=1 if last else 2,
+                   padding="SAME" if last else (1, 1))
         masks.append(m[:, ::2])
     masks = masks[:-1]
     m_mid = masks[-1]
