@@ -570,6 +570,12 @@ def generate_speech_spec(
         return jnp.where(sup & (vj == eos)[None, :], -1e30, l)
 
     if key is None:
+        if not sampler.greedy:
+            raise ValueError(
+                "generate_speech_spec: a PRNG key is required with a "
+                "non-greedy sampler (silently seeding would make every "
+                "'sampled' run deterministic)"
+            )
         key = jax.random.PRNGKey(0)            # unused under greedy
 
     first_logits = core.matmul_any(out.hidden[:, -1], head).astype(jnp.float32)

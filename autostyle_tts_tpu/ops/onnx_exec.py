@@ -354,7 +354,9 @@ def _arg_reduce(g, n: OnnxNode, fn):
     axis = int(n.attrs.get("axis", 0))
     if int(n.attrs.get("select_last_index", 0)):
         raise ValueError("Arg{Max,Min} select_last_index is not supported")
-    out = fn(x, axis=axis).astype(jnp.int64)
+    # spec says int64, but default JAX truncates to int32 anyway (with a
+    # per-trace warning) — be explicit instead of warning-and-truncating
+    out = fn(x, axis=axis).astype(jnp.int32)
     if int(n.attrs.get("keepdims", 1)):
         out = jnp.expand_dims(out, axis)
     return out
@@ -363,6 +365,9 @@ def _arg_reduce(g, n: OnnxNode, fn):
 def _pad(g, n: OnnxNode):
     x = g(n.inputs[0])
     mode = n.attrs.get("mode", "constant")
+    if len(n.inputs) > 3 and n.inputs[3]:
+        raise ValueError("Pad with an explicit `axes` input is not "
+                         "supported; export with full-rank pads")
     if len(n.inputs) > 1 and n.inputs[1]:
         pads = _static_int_list(g(n.inputs[1]), "Pad pads")
     else:
@@ -417,9 +422,28 @@ _NP_FOLD: Dict[str, Callable] = {
 
 
 def unsupported_ops(graph: OnnxGraph) -> List[str]:
-    """Sorted op types this executor cannot lower (empty = runnable)."""
+    """Sorted op configurations this executor cannot lower (empty =
+    runnable). Includes attribute-gated cases (e.g. pool ceil_mode) so a
+    converter pre-screening an artifact sees every blocker up front, not a
+    trace-time ValueError on first call."""
     supported = set(OPS) | {"Slice"}
-    return sorted({n.op_type for n in graph.nodes} - supported)
+    bad = {n.op_type for n in graph.nodes if n.op_type not in supported}
+    for n in graph.nodes:
+        if n.op_type in ("Conv", "MaxPool", "AveragePool"):
+            if n.attrs.get("auto_pad", "NOTSET") not in ("NOTSET", ""):
+                bad.add(f"{n.op_type}(auto_pad)")
+            if int(n.attrs.get("ceil_mode", 0)):
+                bad.add(f"{n.op_type}(ceil_mode=1)")
+        elif n.op_type == "Pad":
+            if len(n.inputs) > 3 and n.inputs[3]:
+                bad.add("Pad(axes input)")
+            if n.attrs.get("mode", "constant") not in (
+                    "constant", "reflect", "edge"):
+                bad.add(f"Pad(mode={n.attrs.get('mode')})")
+        elif n.op_type in ("ArgMax", "ArgMin") and int(
+                n.attrs.get("select_last_index", 0)):
+            bad.add(f"{n.op_type}(select_last_index)")
+    return sorted(bad)
 
 
 def op_histogram(graph: OnnxGraph) -> Dict[str, int]:

@@ -496,16 +496,20 @@ class Engine:
         # single-chip B=1 latency feature: sharded engines stay on the
         # standard GSPMD generate path
         if spec_gamma > 0 and B == 1 and self.mesh is None:
-            # prompt-lookup speculative decode (greedy-only; bit-identical
-            # to the standard greedy path — config.speculative_gamma doc)
+            # prompt-lookup speculative decode with the SAME sampler the
+            # standard path uses (rejection sampling preserves its
+            # distribution exactly) — turning speculation on must never
+            # change the sampling semantics, only the step count
+            self.key, sub = jax.random.split(self.key)
             with self.watch.span("lm_generate"):
                 gen = token_lm.generate_speech_spec_from_ids(
                     self.params.token_lm, tl,
                     self._dev(text_ids), self._dev(text_lens),
                     self._dev(sty), self._dev(sty_lens),
-                    self._dev(spk), max_new_tokens=max_new,
+                    self._dev(spk), sub, max_new_tokens=max_new,
                     gamma=spec_gamma,
                     kv_int8=getattr(self.cfg, "quantize_lm_kv_int8", False),
+                    sampler=SamplerConfig(temperature=1.0, top_k=25),
                 )
                 self.watch.sync(gen.tokens, gen.lengths)
             return gen.tokens, gen.lengths, max_new

@@ -294,12 +294,14 @@ class Config:
     # quantize_lm_int8; prefill + fallback paths stay int8): halves the
     # per-step weight HBM stream — the B=1 decode bottleneck
     quantize_lm_int4: bool = False
-    # >0: B=1 LM generation uses prompt-lookup SPECULATIVE decoding with
-    # this draft length — GREEDY ONLY (forces greedy sampling; output is
-    # bit-identical to standard greedy, token_lm.generate_speech_spec).
-    # Worth it only with trained weights whose streams accept drafts:
-    # enable when measured acceptance > verify_cost/step_cost (bench.py
-    # lm_spec reports both). Default off — the megakernel serves B=1.
+    # >0: single-chip B=1 LM generation uses prompt-lookup SPECULATIVE
+    # decoding with this draft length (token_lm.generate_speech_spec).
+    # Sampling semantics are unchanged — the engine runs the sampled
+    # variant (exact rejection sampling against the same top-k sampler the
+    # standard path uses); only the step count changes. Worth it only with
+    # trained weights whose streams accept drafts: enable when measured
+    # acceptance > verify_cost/step_cost (bench.py lm_spec reports both).
+    # Default off — the megakernel serves B=1.
     speculative_gamma: int = 0
 
 

@@ -596,30 +596,44 @@ def _device_watchdog(timeout_s: int = 900) -> None:
     first-compile (~100 s worst observed), so a healthy chip never trips."""
     import threading
 
-    ok = threading.Event()
+    done = threading.Event()
+    state = {}
 
     def probe():
-        import jax
-        import jax.numpy as jnp
+        try:
+            import jax
+            import jax.numpy as jnp
 
-        x = jnp.ones((128, 128))
-        np.asarray((x @ x).sum())
-        ok.set()
+            x = jnp.ones((128, 128))
+            np.asarray((x @ x).sum())
+            state["ok"] = True
+        except Exception as e:   # a FAST failure is not a wedge — report it
+            state["error"] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            done.set()
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    if not ok.wait(timeout_s):
-        print(json.dumps({
-            "metric": "tts_with_st_e2e_p50_latency",
-            "value": -1.0,
-            "unit": "s/utt",
-            "vs_baseline": 0.0,
-            "extra": {"error": f"device unresponsive: first 128x128 matmul "
-                               f"did not complete within {timeout_s}s "
-                               f"(wedged tunnel)"},
-        }))
-        sys.stdout.flush()
-        os._exit(0)
+    done.wait(timeout_s)
+    if state.get("ok"):
+        return
+    if "error" in state:
+        # a FAST failure is not a wedge: surface the real exception loudly
+        # instead of masking it behind a fabricated metric
+        print(f"[bench] device probe failed: {state['error']}",
+              file=sys.stderr, flush=True)
+        os._exit(1)
+    print(json.dumps({
+        "metric": "tts_with_st_e2e_p50_latency",
+        "value": -1.0,
+        "unit": "s/utt",
+        "vs_baseline": 0.0,
+        "extra": {"error": f"device unresponsive: first 128x128 matmul did "
+                           f"not complete within {timeout_s}s "
+                           f"(wedged tunnel)"},
+    }))
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def main() -> None:

@@ -400,3 +400,21 @@ def test_s3_tokenizer_graph_vs_rules_cross_validation():
     np.testing.assert_array_equal(
         np.asarray(toks_native)[0], np.asarray(toks_graph)[0]
     )
+
+
+def test_unsupported_ops_reports_attr_gated_configs():
+    """Attribute-gated blockers (pool ceil_mode, Pad axes) must surface in
+    the pre-screen report, not as trace-time errors on first call."""
+    nodes = [
+        OnnxNode("AveragePool", ["x"], ["p"],
+                 attrs={"kernel_shape": [2], "ceil_mode": 1}),
+        OnnxNode("Pad", ["p", "pads", "cval", "axes"], ["y"],
+                 attrs={"mode": "constant"}),
+    ]
+    tensors = {"pads": np.asarray([1, 1], np.int64),
+               "cval": np.asarray(0.0, np.float32),
+               "axes": np.asarray([1], np.int64)}
+    g = _graph(tensors, nodes, ["x"], ["y"])
+    bad = onnx_exec.unsupported_ops(g)
+    assert "AveragePool(ceil_mode=1)" in bad
+    assert "Pad(axes input)" in bad

@@ -178,16 +178,17 @@ def test_spec_acceptance_on_trained_fixture():
     assert mean_ratio > 1.5
 
 
-def test_engine_speculative_mode_deterministic_across_gamma():
-    """Engine(speculative_gamma=k) is greedy: different draft lengths must
-    produce byte-identical audio (drafting moves speed, never content)."""
+def test_engine_speculative_mode_sampled_and_seed_deterministic():
+    """Engine(speculative_gamma=k) keeps the standard SAMPLED semantics
+    (rejection sampling against the same top-k sampler — speculation moves
+    the step count, never the distribution): same seed -> byte-identical
+    audio from two fresh engines; different seeds -> different tokens."""
     from autostyle_tts_tpu.pipeline.engine import Engine
 
-    wavs = {}
-    for gamma in (3, 6):
+    def run(seed):
         cfg = tiny_config()
-        cfg.speculative_gamma = gamma
-        eng = Engine(cfg, seed=0)
+        cfg.speculative_gamma = 4
+        eng = Engine(cfg, seed=seed)
         sr = cfg.audio.prompt_sample_rate
         t = np.arange(sr) / sr
         prompt = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
@@ -195,8 +196,24 @@ def test_engine_speculative_mode_deterministic_across_gamma():
         out = eng._synthesize(["hello speculative world"], ["st"],
                               [feat], [feat], max_seconds=2.0)
         assert np.isfinite(out[0]).all() and out[0].size > 0
-        wavs[gamma] = out[0]
-    np.testing.assert_array_equal(wavs[3], wavs[6])
+        return out[0]
+
+    a, b, c = run(0), run(0), run(1)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape != c.shape or not np.array_equal(a, c)
+
+
+def test_spec_sampled_requires_key(setup):
+    """A non-greedy sampler without a PRNG key must fail loudly (a silent
+    fixed seed would masquerade as sampling)."""
+    cfg, params = setup
+    text, t_len, sty, s_len, spk = _prompt(29, cfg=cfg)
+    with pytest.raises(ValueError, match="key"):
+        token_lm.generate_speech_spec_from_ids(
+            params, cfg, text, t_len, sty, s_len, spk,
+            max_new_tokens=8, gamma=2, pad_multiple=16,
+            sampler=SamplerConfig(temperature=1.0, top_k=4),
+        )
 
 
 def test_spec_sampled_topk1_equals_greedy(setup):
