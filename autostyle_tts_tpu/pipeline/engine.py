@@ -255,7 +255,7 @@ class Engine:
             pm = pm * pmask[..., None]
             mel = cfm.sample_mel(
                 self.params.cfm, cfg.cfm, key, cond, spk, pm, pmask, frame_mask,
-                use_cfg=True,
+                use_cfg=cfg.cfm.use_cfg,
             )
             return mel, tok_lens
 
@@ -340,7 +340,7 @@ class Engine:
             cond = cfm.upsample_tokens(cfm_p, tokens_w, up)
             mel = cfm.sample_mel(
                 cfm_p, cfg.cfm, key, cond, spk, pm, pmask, fmask,
-                use_cfg=True, positions=pos,
+                use_cfg=cfg.cfm.use_cfg, positions=pos,
             )
             wav = vocoder.apply(voc_p, cfg.vocoder, mel)
             lo = (fp_w + chunk) * up

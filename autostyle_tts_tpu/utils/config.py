@@ -132,6 +132,9 @@ class CFMConfig:
     spk_dim: int = 192
     n_steps: int = 10                 # fixed-step Euler sampler (jit-friendly)
     cfg_scale: float = 0.7            # classifier-free guidance on conditioning
+    # False after progressive distillation (train/cfm_distill.py folds the
+    # guidance into the student field): one conditional call per Euler step.
+    use_cfg: bool = True
     sigma_min: float = 1e-4
     upsample: int = 2                 # 25 Hz tokens -> 50 Hz mel frames
     # estimator-trunk compute dtype; norms/softmax/ODE state stay f32.
