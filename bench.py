@@ -374,6 +374,135 @@ def bench_continuous_poisson(engine, texts, style_text, style_feats,
     }
 
 
+def bench_chunk_mega(engine, B: int = 8, chunk: int = 32, s_max: int = 552,
+                     t0_fill: int = 128, n_chunks: int = 6):
+    """Continuous-serving decode step: scanned token_lm.decode_chunk (bf16
+    and int8 KV pools) vs the fused chunk megakernel
+    (ops/pallas_decode.mega_chunk_step) at slot-pool geometry. Random
+    state/weights — pure step-time measurement; greedy/sampled parity is
+    covered by tests/test_pallas_chunk.py. Profiled XLA decode_chunk was
+    2.2 ms/step (bf16 KV) against a ~0.6 ms stream floor; the kernel's win
+    condition is fusing the ~200-op step into one program."""
+    import jax
+    import jax.numpy as jnp
+
+    from autostyle_tts_tpu.models import token_lm
+    from autostyle_tts_tpu.models import transformer as core
+    from autostyle_tts_tpu.ops.sampling import SamplerConfig
+
+    cfg = engine.cfg.token_lm
+    ccfg = token_lm.core_config(cfg)
+    V = cfg.speech_vocab_size
+    sampler = SamplerConfig(temperature=1.0, top_k=25)
+    key = jax.random.PRNGKey(0)
+
+    def fresh_state(quantized):
+        ks = jax.random.split(key, 3)
+        cache = core.make_cache(ccfg, B, s_max, quantized=quantized)
+        if quantized:
+            cache = dict(cache)
+            cache["k"] = jax.random.randint(
+                ks[0], cache["k"].shape, -127, 128, jnp.int8)
+            cache["v"] = jax.random.randint(
+                ks[1], cache["v"].shape, -127, 128, jnp.int8)
+            cache["k_scale"] = jnp.full(cache["k_scale"].shape, 0.01)
+            cache["v_scale"] = jnp.full(cache["v_scale"].shape, 0.01)
+        else:
+            cache["k"] = (jax.random.normal(ks[0], cache["k"].shape)
+                          * 0.3).astype(jnp.bfloat16)
+            cache["v"] = (jax.random.normal(ks[1], cache["v"].shape)
+                          * 0.3).astype(jnp.bfloat16)
+        logits = jax.random.normal(ks[2], (B, V))
+        t = jnp.full((B,), t0_fill, jnp.int32)
+        off = jnp.full((B,), 16, jnp.int32)
+        done = jnp.zeros((B,), bool)
+        steps = jnp.full((B,), 4, jnp.int32)
+        return cache, logits, t, off, done, steps
+
+    def time_chain(step_fn, quantized=False):
+        cache, logits, t, off, done, steps = fresh_state(quantized)
+        k = jax.random.PRNGKey(7)
+        times = []
+        for i in range(n_chunks):
+            k, sub = jax.random.split(k)
+            t0 = time.perf_counter()
+            cache, logits, t, done, steps, toks = step_fn(
+                cache, logits, t, off, done, steps, sub
+            )
+            np.asarray(toks)                    # sync through the tunnel
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times[1:]) / chunk * 1e3)   # ms/step, warm
+
+    def xla_step(cache, logits, t, off, done, steps, sub):
+        return token_lm.decode_chunk(
+            engine.params.token_lm, cfg, cache, logits, t, off, done, steps,
+            sub, n_steps=chunk, sampler=sampler,
+        )
+
+    mp = token_lm.mega_decode_params(engine.params.token_lm, cfg)
+
+    def mega_step(cache, logits, t, off, done, steps, sub):
+        return token_lm.decode_chunk_mega(
+            mp, cfg, cache, logits, t, off, done, steps, sub,
+            n_steps=chunk, sampler=sampler,
+        )
+
+    out = {
+        "geometry": f"B={B} S={s_max} chunk={chunk}",
+        "xla_bf16kv_ms_per_step": round(time_chain(xla_step, False), 3),
+        "xla_int8kv_ms_per_step": round(time_chain(xla_step, True), 3),
+    }
+    try:
+        out["mega_bf16kv_ms_per_step"] = round(time_chain(mega_step, False), 3)
+    except Exception as e:              # unproven Mosaic lowering: report,
+        out["mega_error"] = f"{type(e).__name__}: {e}"[:300]  # don't crash
+    return out
+
+
+def bench_cfm_steps(engine, frames: int = 256, B: int = 1):
+    """Mel-decode cost vs sampler schedule: the production 10-step CFG
+    sampler against the distilled serving points (4-step and 2-step plain —
+    train/cfm_distill.py folds the CFG into the student's conditional
+    field). Random weights; timing only — quality gates live in
+    tests/test_trained_demo.py."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from autostyle_tts_tpu.models import cfm as cfm_lib
+
+    cfg = engine.cfg.cfm
+    p = engine.params.cfm
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    tokens = jax.random.randint(ks[0], (B, frames // cfg.upsample), 0,
+                                cfg.token_vocab_size)
+    cond = cfm_lib.upsample_tokens(p, tokens, cfg.upsample)
+    spk = jax.random.normal(ks[1], (B, cfg.spk_dim)) * 0.3
+    pmask = (jnp.arange(frames)[None, :] < frames // 4).astype(jnp.float32)
+    pmask = jnp.broadcast_to(pmask, (B, frames))
+    pmel = jax.random.normal(ks[2], (B, frames, cfg.n_mels)) * pmask[..., None]
+    fmask = jnp.ones((B, frames), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    def run(n_steps, use_cfg):
+        c = dataclasses.replace(cfg, n_steps=n_steps, use_cfg=use_cfg)
+
+        def call():
+            return np.asarray(cfm_lib.sample_mel(
+                p, c, key, cond, spk, pmel, pmask, fmask, use_cfg=use_cfg,
+            ))
+
+        return round(_p50(call) * 1e3, 2)   # _p50 warms with one extra call
+
+    return {
+        "frames": frames,
+        "ms_10step_cfg": run(10, True),
+        "ms_4step_plain": run(4, False),
+        "ms_2step_plain": run(2, False),
+    }
+
+
 def bench_stream_concurrent(engine, texts, style_text, style_feats,
                             timbre_feat, n_sessions: int = 4):
     """Concurrent streaming serving (round-3 capability): N sessions share
@@ -812,6 +941,8 @@ def main() -> None:
     stream_conc = _section("stream_concurrent", lambda: bench_stream_concurrent(
         engine, texts, style_text, style_feats, timbre_feat
     ))
+    chunk_mega = _section("chunk_mega", lambda: bench_chunk_mega(engine))
+    cfm_steps = _section("cfm_steps", lambda: bench_cfm_steps(engine))
     retrieval = _section("retrieval", lambda: bench_retrieval(rng, rtt_s))
     if "error" in retrieval:
         retrieval = {"retrieval_error": retrieval["error"]}
@@ -846,6 +977,8 @@ def main() -> None:
                     "stage_device_sum_ms": round(device_sum, 1),
                     "lm_split": lm_split,
                     "lm_spec": lm_spec,
+                    "lm_chunk": chunk_mega,
+                    "cfm_steps": cfm_steps,
                     **retrieval,
                     "embedder_3b": embedder,
                     "embedder_7b": embedder7,
