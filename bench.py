@@ -456,6 +456,28 @@ def bench_chunk_mega(engine, B: int = 8, chunk: int = 32, s_max: int = 552,
         out["mega_bf16kv_ms_per_step"] = round(time_chain(mega_step, False), 3)
     except Exception as e:              # unproven Mosaic lowering: report,
         out["mega_error"] = f"{type(e).__name__}: {e}"[:300]  # don't crash
+        return out
+    try:
+        from autostyle_tts_tpu.models.token_lm import int4_lanes_ok
+
+        if int4_lanes_ok(engine.cfg.token_lm):
+            mp4 = token_lm.mega_decode_params(
+                engine.params.token_lm, cfg, bits=4
+            )
+
+            def mega4_step(cache, logits, t, off, done, steps, sub):
+                return token_lm.decode_chunk_mega(
+                    mp4, cfg, cache, logits, t, off, done, steps, sub,
+                    n_steps=chunk, sampler=sampler,
+                )
+
+            # at B=8 the int4 unpack VPU cost amortizes over the batch —
+            # the B=1 verdict (unpack-bound, int8 wins) may flip here
+            out["mega_int4_bf16kv_ms_per_step"] = round(
+                time_chain(mega4_step, False), 3
+            )
+    except Exception as e:
+        out["mega_int4_error"] = f"{type(e).__name__}: {e}"[:300]
     return out
 
 

@@ -193,3 +193,45 @@ def test_continuous_batcher_megakernel_rejects_int8_kv():
     eng = Engine(cfg, seed=0)
     with pytest.raises(ValueError, match="bf16 KV pool"):
         ContinuousBatcher(eng, slots=2, kv_int8=True, megakernel=True)
+
+
+def test_chunk_megakernel_int4_matches_int8():
+    """int4 chunk kernel parity: weights constrained so the 4-bit
+    re-quantization is EXACT (same trick as
+    test_generate_speech_megakernel_int4_matches_int8), then greedy chunk
+    tokens must match the int8 chunk kernel bit for bit."""
+    from autostyle_tts_tpu.ops.quant import QTensor
+
+    cfg = tiny_config().token_lm
+    params = quantize_tree(token_lm.init_params(jax.random.PRNGKey(5), cfg))
+
+    def fix(t):
+        if isinstance(t, QTensor):
+            q = jnp.clip(t.q, -7, 7).at[..., 0, :].set(7)
+            return QTensor(q=q, s=t.s)
+        return t
+
+    params = jax.tree_util.tree_map(
+        fix, params, is_leaf=lambda x: isinstance(x, QTensor)
+    )
+    mp8 = token_lm.mega_decode_params(params, cfg, tile_f=64, bits=8)
+    mp4 = token_lm.mega_decode_params(params, cfg, tile_f=64, bits=4)
+    _, _, _, cache, logits, t, offset = (None,) * 3 + _setup()[3:]
+    B = 4
+    done = jnp.zeros((B,), bool)
+    steps = jnp.zeros((B,), jnp.int32)
+    sampler = SamplerConfig(greedy=True)
+    key = jax.random.PRNGKey(21)
+
+    def run(mp):
+        c = {k: jnp.copy(v) for k, v in cache.items()}
+        _, lg, tt, dn, st, toks = token_lm.decode_chunk_mega(
+            mp, cfg, c, logits, t, offset, done, steps, key,
+            n_steps=4, sampler=sampler, interpret=True,
+        )
+        return np.asarray(toks), np.asarray(lg)
+
+    toks8, lg8 = run(mp8)
+    toks4, lg4 = run(mp4)
+    np.testing.assert_array_equal(toks4, toks8)
+    np.testing.assert_allclose(lg4, lg8, rtol=2e-2, atol=2e-2)
