@@ -946,6 +946,28 @@ def prefill_prefix(
     return out.cache, next_logits, offset
 
 
+def _chunk_tick(cfg, sampler, min_tokens, S_eff, logits, t, done, steps, key):
+    """One tick's sampling / EOS / bookkeeping — the contract SHARED
+    bit-for-bit by decode_chunk (XLA) and decode_chunk_mega (Pallas).
+    Their greedy/sampled parity depends on this block being the single
+    source of truth: mask pad+bos, gate EOS below min_tokens, sample,
+    park finished rows on pad, retire at EOS or capacity.
+    Returns (tok, done', steps', key')."""
+    eos, padt = cfg.speech_eos, cfg.speech_pad
+    V = logits.shape[1]
+    key, sub = jax.random.split(key)
+    lg = logits.at[:, padt].set(-1e30).at[:, cfg.speech_bos].set(-1e30)
+    lg = jnp.where(
+        (steps < min_tokens)[:, None] & (jnp.arange(V) == eos)[None, :],
+        -1e30, lg,
+    )
+    tok = sample(sub, lg, sampler)
+    tok = jnp.where(done, padt, tok)
+    done = done | (tok == eos) | (t >= S_eff - 2)
+    steps = steps + (tok != padt).astype(jnp.int32)
+    return tok, done, steps, key
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "n_steps", "sampler", "min_tokens"),
@@ -993,7 +1015,6 @@ def decode_chunk(
     D = ccfg.dim
     S_tot = cache["k"].shape[2]
     S_eff = S_tot - n_steps            # last n_steps slots are spare
-    eos, padt = cfg.speech_eos, cfg.speech_pad
     head = params["speech_head"]
     lp = params["layers"]
     dt = jnp.dtype(ccfg.dtype)
@@ -1061,16 +1082,9 @@ def decode_chunk(
 
     def step(carry, i):
         app_k, app_v, app_ks, app_vs, logits, t, done, steps, key = carry
-        key, sub = jax.random.split(key)
-        lg = logits.at[:, padt].set(-1e30).at[:, cfg.speech_bos].set(-1e30)
-        lg = jnp.where(
-            (steps < min_tokens)[:, None] & (jnp.arange(V) == eos)[None, :],
-            -1e30, lg,
+        tok, done, steps, key = _chunk_tick(
+            cfg, sampler, min_tokens, S_eff, logits, t, done, steps, key
         )
-        tok = sample(sub, lg, sampler)
-        tok = jnp.where(done, padt, tok)
-        done = done | (tok == eos) | (t >= S_eff - 2)
-        steps = steps + (tok != padt).astype(jnp.int32)
         h = params["speech_emb"][tok].astype(dt)           # [B, D]
         pos = jnp.maximum(t - offset, 0)[:, None]          # [B, 1]
         a_valid = app_idx <= i                             # [n_steps]
@@ -1189,7 +1203,6 @@ def decode_chunk_mega(
     assert "k_scale" not in cache, "mega chunk kernel serves the bf16 KV pool"
     S_tot = cache["k"].shape[2]
     S_eff = S_tot - n_steps
-    eos, padt = cfg.speech_eos, cfg.speech_pad
     k_all = cache["k"].reshape(L, B, S_tot, K * hd)
     v_all = cache["v"].reshape(L, B, S_tot, K * hd)
     invf = mp["invf"]                       # [1, H*hd] rotate-half inv freqs
@@ -1197,16 +1210,9 @@ def decode_chunk_mega(
 
     def step(carry, i):
         k_all, v_all, logits, t, done, steps, key = carry
-        key, sub = jax.random.split(key)
-        lg = logits.at[:, padt].set(-1e30).at[:, cfg.speech_bos].set(-1e30)
-        lg = jnp.where(
-            (steps < min_tokens)[:, None] & (jnp.arange(V) == eos)[None, :],
-            -1e30, lg,
+        tok, done, steps, key = _chunk_tick(
+            cfg, sampler, min_tokens, S_eff, logits, t, done, steps, key
         )
-        tok = sample(sub, lg, sampler)
-        tok = jnp.where(done, padt, tok)
-        done = done | (tok == eos) | (t >= S_eff - 2)
-        steps = steps + (tok != padt).astype(jnp.int32)
         h0 = emb8[tok]                                     # [B, D] bf16
         pos = jnp.maximum(t - offset, 0).astype(jnp.float32)
         cos_rows = jnp.cos(pos[:, None] * invf)            # [B, H*hd]

@@ -752,6 +752,11 @@ def mega_decode_step(
         bos_id=bos_id, eos_id=eos_id,
         greedy=greedy, temperature=temperature, top_k=top_k, int4=int4,
     )
+    # head phase (l == L) consumes no qkv/FFN tiles, but Pallas DMAs a
+    # block whenever its index map CHANGES between grid steps — so the
+    # dead-phase maps below pin to the LAST block visited at l == L-1
+    # (qkv third 2, FFN tile JM-1) instead of re-walking a whole layer's
+    # weights every decode step (~1/L of the stream, for nothing).
     c2 = lambda l, j: (0, 0)
     lmap3 = lambda l, j: (jnp.minimum(l, L - 1), 0, 0)
     return pl.pallas_call(
@@ -763,12 +768,14 @@ def mega_decode_step(
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, D, NW),
-                lambda l, j: (jnp.minimum(l, L - 1), jnp.minimum(j, 2), 0, 0),
+                lambda l, j: (jnp.minimum(l, L - 1),
+                              jnp.where(l == L, 2, jnp.minimum(j, 2)), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, 1, N),
-                lambda l, j: (jnp.minimum(l, L - 1), jnp.minimum(j, 2), 0, 0),
+                lambda l, j: (jnp.minimum(l, L - 1),
+                              jnp.where(l == L, 2, jnp.minimum(j, 2)), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, N, DW), lmap3, memory_space=pltpu.VMEM),
@@ -778,21 +785,24 @@ def mega_decode_step(
             pl.BlockSpec(
                 (1, 1, D, GW),
                 lambda l, j: (
-                    jnp.minimum(l, L - 1), jnp.maximum(j - 4, 0), 0, 0
+                    jnp.minimum(l, L - 1),
+                    jnp.where(l == L, JM - 1, jnp.maximum(j - 4, 0)), 0, 0
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, 1, 2 * TF),
                 lambda l, j: (
-                    jnp.minimum(l, L - 1), jnp.maximum(j - 4, 0), 0, 0
+                    jnp.minimum(l, L - 1),
+                    jnp.where(l == L, JM - 1, jnp.maximum(j - 4, 0)), 0, 0
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, TF, DW2),
                 lambda l, j: (
-                    jnp.minimum(l, L - 1), jnp.maximum(j - 4, 0), 0, 0
+                    jnp.minimum(l, L - 1),
+                    jnp.where(l == L, JM - 1, jnp.maximum(j - 4, 0)), 0, 0
                 ),
                 memory_space=pltpu.VMEM,
             ),
@@ -1193,12 +1203,14 @@ def mega_chunk_step(
             pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, D, NW),
-                lambda l, j: (jnp.minimum(l, L - 1), jnp.minimum(j, 2), 0, 0),
+                lambda l, j: (jnp.minimum(l, L - 1),
+                              jnp.where(l == L, 2, jnp.minimum(j, 2)), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, 1, N),
-                lambda l, j: (jnp.minimum(l, L - 1), jnp.minimum(j, 2), 0, 0),
+                lambda l, j: (jnp.minimum(l, L - 1),
+                              jnp.where(l == L, 2, jnp.minimum(j, 2)), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, N, DW), lmap3, memory_space=pltpu.VMEM),
@@ -1208,7 +1220,8 @@ def mega_chunk_step(
                 (1, 1, D, GW),
                 lambda l, j: (
                     jnp.minimum(l, L - 1),
-                    jnp.clip(j - (4 + B), 0, JM - 1), 0, 0,
+                    jnp.where(l == L, JM - 1,
+                              jnp.clip(j - (4 + B), 0, JM - 1)), 0, 0,
                 ),
                 memory_space=pltpu.VMEM,
             ),
@@ -1216,7 +1229,8 @@ def mega_chunk_step(
                 (1, 1, 1, 2 * TF),
                 lambda l, j: (
                     jnp.minimum(l, L - 1),
-                    jnp.clip(j - (4 + B), 0, JM - 1), 0, 0,
+                    jnp.where(l == L, JM - 1,
+                              jnp.clip(j - (4 + B), 0, JM - 1)), 0, 0,
                 ),
                 memory_space=pltpu.VMEM,
             ),
@@ -1224,7 +1238,8 @@ def mega_chunk_step(
                 (1, 1, TF, DW2),
                 lambda l, j: (
                     jnp.minimum(l, L - 1),
-                    jnp.clip(j - (4 + B), 0, JM - 1), 0, 0,
+                    jnp.where(l == L, JM - 1,
+                              jnp.clip(j - (4 + B), 0, JM - 1)), 0, 0,
                 ),
                 memory_space=pltpu.VMEM,
             ),

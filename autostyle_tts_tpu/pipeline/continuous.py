@@ -139,8 +139,24 @@ class ContinuousBatcher:
                 )
             if ccfg.n_heads != ccfg.n_kv_heads:
                 raise ValueError("chunk megakernel needs n_heads == n_kv_heads")
+            from ..ops.quant import QTensor
+
+            if not isinstance(
+                engine.params.token_lm["layers"]["wqkv"], QTensor
+            ):
+                raise ValueError(
+                    "megakernel=True streams int8/int4 weight tiles; the "
+                    "token LM must be quantized (set "
+                    "config.quantize_lm_int8=True)"
+                )
+            # honor the engine's int4 opt-in: halved per-step weight
+            # stream (only when the packed lanes stay whole vregs)
+            use_int4 = (
+                getattr(cfg, "quantize_lm_int4", False)
+                and token_lm.int4_lanes_ok(self.tl)
+            )
             self.mp = token_lm.mega_decode_params(
-                engine.params.token_lm, self.tl
+                engine.params.token_lm, self.tl, bits=4 if use_int4 else 8,
             )
         self.cache = core.make_cache(ccfg, slots, self.s_max,
                                      quantized=self.kv_int8)

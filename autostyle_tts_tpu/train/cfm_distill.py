@@ -146,7 +146,10 @@ def distill(
     the student's conditional field.
     """
     teacher = teacher_params
-    scale = float(cfg.cfg_scale)
+    # a guidance-free teacher (e.g. re-distilling an already-distilled
+    # snapshot, cfg.use_cfg=False) must be queried WITHOUT the CFG
+    # combination — its unconditional branch was never trained
+    scale = float(cfg.cfg_scale) if cfg.use_cfg else 0.0
     history: List[Dict] = []
     key = jax.random.PRNGKey(seed)
     student = teacher

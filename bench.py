@@ -302,39 +302,50 @@ def bench_continuous_poisson(engine, texts, style_text, style_feats,
             "max_tokens": lengths[i % 4],
         }
 
-    # --- continuous
-    bat = ContinuousBatcher(engine, slots=8, chunk=32, max_new=128)
-    # warm every program involved: admission batches bucket to powers of
-    # two, so drain at sizes 1/2/4/8 (decode/render programs warm on the
-    # first pass; the rest hit the jit cache)
-    for nb in (1, 2, 4, 8):
-        for j in range(nb):
-            bat.submit(make_req(j))
-        done = bat.drain()
-    engine.synthesize_from_tokens(done[:1], max_seconds=5.0)
-    for n_tok in (32, 64, 96, 128):  # warm the B=1 override render buckets
-        engine.synthesize_from_tokens([{
-            "tokens": np.zeros(n_tok, np.int32), "flow_feat": timbre_feat,
-        }], max_seconds=5.0)
+    # --- continuous (scanned decode_chunk, and opt-in chunk megakernel)
+    def run_continuous(**bat_kw):
+        # warm every program involved: admission batches bucket to powers
+        # of two, so drain at sizes 1/2/4/8 (decode/render programs warm on
+        # the first pass; the rest hit the jit cache)
+        bat = ContinuousBatcher(engine, slots=8, chunk=32, max_new=128,
+                                **bat_kw)
+        for nb in (1, 2, 4, 8):
+            for j in range(nb):
+                bat.submit(make_req(j))
+            done = bat.drain()
+        engine.synthesize_from_tokens(done[:1], max_seconds=5.0)
+        for n_tok in (32, 64, 96, 128):  # warm B=1 override render buckets
+            engine.synthesize_from_tokens([{
+                "tokens": np.zeros(n_tok, np.int32), "flow_feat": timbre_feat,
+            }], max_seconds=5.0)
 
-    bat = ContinuousBatcher(engine, slots=8, chunk=32, max_new=128)
-    lat_c = {}
-    t0 = time.perf_counter()
-    submitted = 0
-    while len(lat_c) < n_req:
-        now = time.perf_counter() - t0
-        while submitted < n_req and arrivals[submitted] <= now:
-            bat.submit(make_req(submitted))
-            submitted += 1
-        if bat.idle and submitted < n_req:
-            time.sleep(max(arrivals[submitted] - now, 0.0))
-            continue
-        finished = bat.step()
-        for req in finished:
-            # per-request render: one compiled B=1 program, and a request's
-            # latency doesn't absorb its harvest-mates' rendering
-            engine.synthesize_from_tokens([req], max_seconds=5.0)
-            lat_c[req["id"]] = time.perf_counter() - t0 - arrivals[req["id"]]
+        bat = ContinuousBatcher(engine, slots=8, chunk=32, max_new=128,
+                                **bat_kw)
+        lat = {}
+        t0 = time.perf_counter()
+        submitted = 0
+        while len(lat) < n_req:
+            now = time.perf_counter() - t0
+            while submitted < n_req and arrivals[submitted] <= now:
+                bat.submit(make_req(submitted))
+                submitted += 1
+            if bat.idle and submitted < n_req:
+                time.sleep(max(arrivals[submitted] - now, 0.0))
+                continue
+            finished = bat.step()
+            for req in finished:
+                # per-request render: one compiled B=1 program, and a
+                # request's latency doesn't absorb its harvest-mates'
+                engine.synthesize_from_tokens([req], max_seconds=5.0)
+                lat[req["id"]] = time.perf_counter() - t0 - arrivals[req["id"]]
+        return lat
+
+    lat_c = run_continuous()
+    lat_m, mega_err = None, None
+    try:
+        lat_m = run_continuous(megakernel=True)
+    except Exception as e:            # unproven Mosaic lowering on-chip:
+        mega_err = f"{type(e).__name__}: {e}"[:300]   # report, don't crash
 
     # --- static batches of 8 on the same trace
     lat_s = {}
@@ -364,7 +375,7 @@ def bench_continuous_poisson(engine, texts, style_text, style_feats,
 
     c = np.array(list(lat_c.values()))
     s = np.array(list(lat_s.values()))
-    return {
+    out = {
         "lambda_rps": lam_rps,
         "n_requests": n_req,
         "continuous_p50_s": round(float(np.percentile(c, 50)), 3),
@@ -372,6 +383,13 @@ def bench_continuous_poisson(engine, texts, style_text, style_feats,
         "static8_p50_s": round(float(np.percentile(s, 50)), 3),
         "static8_p95_s": round(float(np.percentile(s, 95)), 3),
     }
+    if lat_m is not None:
+        m = np.array(list(lat_m.values()))
+        out["continuous_mega_p50_s"] = round(float(np.percentile(m, 50)), 3)
+        out["continuous_mega_p95_s"] = round(float(np.percentile(m, 95)), 3)
+    elif mega_err:
+        out["continuous_mega_error"] = mega_err
+    return out
 
 
 def bench_chunk_mega(engine, B: int = 8, chunk: int = 32, s_max: int = 552,
@@ -439,20 +457,22 @@ def bench_chunk_mega(engine, B: int = 8, chunk: int = 32, s_max: int = 552,
             sub, n_steps=chunk, sampler=sampler,
         )
 
-    mp = token_lm.mega_decode_params(engine.params.token_lm, cfg)
-
-    def mega_step(cache, logits, t, off, done, steps, sub):
-        return token_lm.decode_chunk_mega(
-            mp, cfg, cache, logits, t, off, done, steps, sub,
-            n_steps=chunk, sampler=sampler,
-        )
-
     out = {
         "geometry": f"B={B} S={s_max} chunk={chunk}",
         "xla_bf16kv_ms_per_step": round(time_chain(xla_step, False), 3),
         "xla_int8kv_ms_per_step": round(time_chain(xla_step, True), 3),
     }
     try:
+        # inside the guard: an unquantized LM (ASTTTS_BENCH_INT8=0) has no
+        # megakernel params, but the XLA baselines above still stand
+        mp = token_lm.mega_decode_params(engine.params.token_lm, cfg)
+
+        def mega_step(cache, logits, t, off, done, steps, sub):
+            return token_lm.decode_chunk_mega(
+                mp, cfg, cache, logits, t, off, done, steps, sub,
+                n_steps=chunk, sampler=sampler,
+            )
+
         out["mega_bf16kv_ms_per_step"] = round(time_chain(mega_step, False), 3)
     except Exception as e:              # unproven Mosaic lowering: report,
         out["mega_error"] = f"{type(e).__name__}: {e}"[:300]  # don't crash

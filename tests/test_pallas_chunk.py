@@ -135,8 +135,14 @@ def test_chunk_megakernel_sampled_valid():
     V = cfg.speech_vocab_size
     assert got_toks.shape == (B, 5)
     assert (got_toks >= 0).all() and (got_toks < V).all()
-    live = got_toks[~np.asarray(jnp.zeros((B,), bool))]
     assert (got_toks != cfg.speech_bos).all()
+    # PAD may appear only AFTER a row retires (EOS): every token up to and
+    # including the first EOS must be a real speech token
+    for b in range(B):
+        row = np.asarray(got_toks[b])
+        eos_pos = np.flatnonzero(row == cfg.speech_eos)
+        end = eos_pos[0] if eos_pos.size else len(row)
+        assert (row[:end] != cfg.speech_pad).all()
     assert np.isfinite(np.asarray(got[1])).all()
 
 
@@ -193,6 +199,51 @@ def test_continuous_batcher_megakernel_rejects_int8_kv():
     eng = Engine(cfg, seed=0)
     with pytest.raises(ValueError, match="bf16 KV pool"):
         ContinuousBatcher(eng, slots=2, kv_int8=True, megakernel=True)
+
+
+def test_continuous_batcher_megakernel_rejects_unquantized_lm():
+    """megakernel=True with a float LM must raise a clear error, not die
+    in mega_decode_params with AttributeError('.q')."""
+    from autostyle_tts_tpu.pipeline.continuous import ContinuousBatcher
+    from autostyle_tts_tpu.pipeline.engine import Engine
+
+    cfg = tiny_config()
+    assert not cfg.quantize_lm_int8          # the default config
+    eng = Engine(cfg, seed=0)
+    with pytest.raises(ValueError, match="quantized"):
+        ContinuousBatcher(eng, slots=2, megakernel=True)
+
+
+def test_continuous_batcher_megakernel_honors_int4_opt_in():
+    """config.quantize_lm_int4 reaches the batcher's mega params (halved
+    packed width) when the lanes allow it; narrow geometries fall back to
+    int8 silently (int4_lanes_ok gate)."""
+    import dataclasses
+
+    from autostyle_tts_tpu.pipeline.continuous import ContinuousBatcher
+    from autostyle_tts_tpu.pipeline.engine import Engine
+
+    # narrow tiny geometry: int4 requested but lanes too narrow -> int8
+    cfg = tiny_config()
+    cfg.quantize_lm_int8 = True
+    cfg.quantize_lm_int4 = True
+    assert not token_lm.int4_lanes_ok(cfg.token_lm)
+    bat = ContinuousBatcher(Engine(cfg, seed=0), slots=2, megakernel=True,
+                            mega_interpret=True)
+    N = cfg.token_lm.n_heads * (cfg.token_lm.dim // cfg.token_lm.n_heads)
+    assert bat.mp["wqkv3"].shape[3] == N     # unpacked int8 width
+
+    # lane-aligned geometry: packed width must be halved
+    cfg4 = tiny_config()
+    cfg4.token_lm = dataclasses.replace(
+        cfg4.token_lm, dim=256, n_heads=4, n_kv_heads=4, ffn_dim=256,
+    )
+    cfg4.quantize_lm_int8 = True
+    cfg4.quantize_lm_int4 = True
+    assert token_lm.int4_lanes_ok(cfg4.token_lm)
+    bat4 = ContinuousBatcher(Engine(cfg4, seed=0), slots=2, megakernel=True,
+                             mega_interpret=True)
+    assert bat4.mp["wqkv3"].shape[3] == 256 // 2  # packed int4 width
 
 
 def test_chunk_megakernel_int4_matches_int8():
