@@ -27,7 +27,7 @@ def main(argv=None) -> None:
     p.add_argument("--wav_dir", type=str, default="")
     p.add_argument("--stage", type=str, required=True,
                    choices=["tokenizer", "token_lm", "cfm", "vocoder",
-                            "vocoder_gan"])
+                            "vocoder_gan", "phn_head"])
     p.add_argument("--n_phoneme_classes", type=int, default=0,
                    help="tokenizer stage: phoneme label classes (0 = the "
                         "synthcorpus inventory)")
@@ -75,6 +75,7 @@ def main(argv=None) -> None:
             cfg.speech_tokenizer, a, opt, n_cls
         )
         opt_state = opt.init(params)
+        usage = acoustic.init_usage(cfg.speech_tokenizer)
         step = mgr.latest_step() or 0
         if step:
             params = mgr.restore(params)
@@ -85,16 +86,54 @@ def main(argv=None) -> None:
                 seed=args.seed + epoch, stages=("tokenizer",), cache=feat_cache,
             ):
                 key, sub = jax.random.split(key)
-                params, opt_state, loss, ce, acc = step_fn(
-                    params, opt_state, batch["tokenizer"], sub
+                params, opt_state, usage, loss, ce, acc, n_used = step_fn(
+                    params, opt_state, usage, batch["tokenizer"], sub
                 )
                 step += 1
                 if step % args.log_every == 0:
                     print(f"step {step}: loss={float(loss):.4f} "
-                          f"phn_ce={float(ce):.4f} phn_acc={float(acc):.3f}")
+                          f"phn_ce={float(ce):.4f} phn_acc={float(acc):.3f} "
+                          f"codes_used={int(n_used)}")
                 if step % args.save_every == 0:
                     mgr.save(step, params)
         mgr.save(max(step, 1), params)
+        print(f"done: {step} steps -> {args.out_dir}")
+        return
+
+    if args.stage == "phn_head":
+        # standalone phoneme-recognizer head on the FROZEN tokenizer from
+        # --checkpoint (the shipped trained engine): the intelligibility
+        # gate's transcriber (pipeline/simeval.phoneme_error_rate)
+        from ..train.synthcorpus import N_PHONEME_CLASSES
+
+        n_cls = args.n_phoneme_classes or N_PHONEME_CLASSES
+        head = acoustic.init_tokenizer_head(
+            jax.random.PRNGKey(args.seed + 3), cfg.speech_tokenizer, n_cls
+        )
+        step_fn = acoustic.make_phn_head_step(
+            cfg.speech_tokenizer, a, opt, n_cls
+        )
+        opt_state = opt.init(head)
+        step = mgr.latest_step() or 0
+        if step:
+            head = mgr.restore(head)
+        for epoch in range(args.epochs):
+            for batch in make_acoustic_batches(
+                engine, items, args.batch_size, args.prompt_seconds,
+                seed=args.seed + epoch, stages=("tokenizer",),
+                cache=feat_cache,
+            ):
+                head, opt_state, ce, acc = step_fn(
+                    engine.params.speech_tokenizer, head, opt_state,
+                    batch["tokenizer"],
+                )
+                step += 1
+                if step % args.log_every == 0:
+                    print(f"step {step}: phn_ce={float(ce):.4f} "
+                          f"phn_acc={float(acc):.3f}")
+                if step % args.save_every == 0:
+                    mgr.save(step, head)
+        mgr.save(max(step, 1), head)
         print(f"done: {step} steps -> {args.out_dir}")
         return
 

@@ -12,12 +12,19 @@ program. Zero name assumptions; works for any campplus-shaped export whose
 ops are in the executor's table (the convert CLI reports the op histogram
 and anything unsupported).
 
-The fbank frontend here is a kaldi-STYLE approximation built from the
-framework's GEMM-DFT pieces (ops/stft): preemphasis 0.97, 25 ms/10 ms
-povey-windowed frames (snip edges), 512-bin DFT, HTK-scale mel, natural
-log, per-utterance mean subtraction. Numerically unvalidated against
-torchaudio.compliance.kaldi (zero-egress env, docs/WEIGHTS.md) — the model
-half is exact graph execution; any residual gap lives in this frontend.
+The fbank frontend here implements the exact kaldi algorithm from spec
+with the framework's GEMM-DFT pieces (ops/stft): preemphasis 0.97,
+25 ms/10 ms povey-windowed frames (snip edges, per-frame DC removal),
+512-bin left-aligned DFT, kaldi mel banks (triangles linear in the MEL
+domain, nyquist excluded), natural log with the FLT_EPSILON floor,
+per-utterance mean subtraction, float wav consumed UNSCALED (the
+torchaudio.compliance.kaldi convention upstream uses — NOT kaldi's int16
+range). The env has no torchaudio to diff against (docs/WEIGHTS.md);
+instead tests/test_onnx_exec.py::test_kaldi_fbank_matches_cleanroom_reference
+checks it against an independent float64 np.fft implementation written
+directly from the kaldi sources' algorithm — agreement to float32
+tolerance including floor-bound silent frames. The model half is exact
+graph execution, so frontend spec-compliance is the whole parity story.
 """
 
 from __future__ import annotations
@@ -48,27 +55,30 @@ def _povey(n: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _mel_htk(sr: int, n_fft: int, n_mels: int, fmin: float = 20.0,
-             fmax: Optional[float] = None) -> np.ndarray:
-    """HTK/kaldi-scale triangular mel bank [n_bins, n_mels] (no area norm —
-    kaldi's banks are peak-1 triangles)."""
+def _mel_kaldi(sr: int, n_fft: int, n_mels: int, fmin: float = 20.0,
+               fmax: Optional[float] = None) -> np.ndarray:
+    """Kaldi triangular mel bank [n_bins, n_mels] (mel.cc semantics, peak-1):
+    triangles are linear IN THE MEL DOMAIN — weight = (mel(f)-left_mel)/
+    (center_mel-left_mel) — not in Hz (the librosa/HTK-tool convention this
+    module used before round 3; Hz-linear triangles disagree by up to ~0.2
+    in the low log-fbank bins, tests/test_cosy_compat.py clean-room check).
+    The nyquist bin carries zero weight: kaldi iterates fft bins
+    0..n_fft/2-1 only (torchaudio.compliance pads the last column with 0)."""
     fmax = fmax or sr / 2.0
     n_bins = n_fft // 2 + 1
 
     def to_mel(f):
-        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+        return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
 
-    def to_hz(m):
-        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
-
-    pts = to_hz(np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2))
-    freqs = np.linspace(0.0, sr / 2.0, n_bins)
+    mlo, mhi = to_mel(fmin), to_mel(fmax)
+    mel_freqs = to_mel(np.arange(n_fft // 2) * sr / float(n_fft))
+    delta = (mhi - mlo) / (n_mels + 1)
     fb = np.zeros((n_bins, n_mels), np.float64)
     for m in range(n_mels):
-        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
-        up = (freqs - lo) / max(c - lo, 1e-10)
-        down = (hi - freqs) / max(hi - c, 1e-10)
-        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+        left, center, right = mlo + m * delta, mlo + (m + 1) * delta, mlo + (m + 2) * delta
+        up = (mel_freqs - left) / (center - left)
+        down = (right - mel_freqs) / (right - center)
+        fb[: n_fft // 2, m] = np.maximum(0.0, np.minimum(up, down))
     return fb.astype(np.float32)
 
 
@@ -94,7 +104,11 @@ def kaldi_fbank(wav16: jnp.ndarray) -> jnp.ndarray:
     povey window, natural log; dither 0 as the upstream frontend sets).
     Jitted: ONE program per wav length instead of ~6 eager dispatches (each
     extra submission costs a tunnel RTT on this repo's device)."""
-    x = jnp.asarray(wav16, jnp.float32) * 32768.0   # kaldi int16 scaling
+    # NO int16 rescale: upstream feeds torchaudio.compliance.kaldi.fbank the
+    # float [-1,1] wav as-is. A global scale would cancel under the CMN below
+    # EXCEPT where the log floor binds (quiet low-mel bins) — scaling by
+    # 32768 shifted those frames by up to ~0.2 log units vs upstream.
+    x = jnp.asarray(wav16, jnp.float32)
     frames = frame_signal(x, FRAME_LEN, HOP)        # [F, 400], snip edges
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
     pre = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=-1)
@@ -103,7 +117,7 @@ def kaldi_fbank(wav16: jnp.ndarray) -> jnp.ndarray:
     re = frames @ jnp.asarray(cos_b)
     im = frames @ jnp.asarray(sin_b)
     power = re * re + im * im
-    mel = power @ jnp.asarray(_mel_htk(SAMPLE_RATE, N_FFT, N_MELS))
+    mel = power @ jnp.asarray(_mel_kaldi(SAMPLE_RATE, N_FFT, N_MELS))
     feat = jnp.log(jnp.maximum(mel, 1.1921e-07))    # kaldi's FLT_EPSILON
     return feat - jnp.mean(feat, axis=0, keepdims=True)   # upstream CMN
 

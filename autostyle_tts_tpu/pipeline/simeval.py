@@ -216,6 +216,154 @@ def write_report(path, report: Dict) -> None:
     Path(path).write_text(json.dumps(report, indent=2, ensure_ascii=False))
 
 
+def levenshtein(a: Sequence, b: Sequence) -> int:
+    """Edit distance between two sequences (insert/delete/substitute = 1)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+def collapse_phoneme_frames(frame_ids: Sequence[int]) -> List[int]:
+    """Frame-level phoneme ids -> phoneme SEQUENCE: merge consecutive
+    repeats, drop silence (id 0). The framewise recognizer needs no CTC
+    blank because the corpus labels are exact alignments; collapsing its
+    argmax stream recovers the spoken sequence."""
+    out: List[int] = []
+    prev = None
+    for f in frame_ids:
+        f = int(f)
+        if f != prev and f != 0:
+            out.append(f)
+        prev = f
+    return out
+
+
+def text_to_phoneme_ids(text: str) -> List[int]:
+    """Corpus orthography (phoneme letters, space-separated pseudo-words,
+    train/synthcorpus.py) -> expected phoneme-id sequence."""
+    from ..train.synthcorpus import PHONE_ID
+
+    return [PHONE_ID[c] for c in text if c in PHONE_ID]
+
+
+class PhonemeRecognizer:
+    """Framewise phoneme transcriber on the engine's (frozen) speech
+    tokenizer. Two interchangeable recognizer kinds, both fitted WITHOUT
+    touching the engine snapshot (so the recognizer can't train the test):
+
+    - `code_map` [codebook_size] int: VQ code -> phoneme id by majority vote
+      over an aligned corpus (fit_code_map below). The trained tokenizer's
+      codes are phoneme-pure (tests/test_trained_demo.py), so this is the
+      stronger transcriber.
+    - `head` [D, n_classes] float: linear phoneme head on the pre-VQ
+      features (cli/train_acoustic --stage phn_head).
+
+    Used by the intelligibility gate: transcribe synthesized audio, compare
+    with the phoneme sequence the input TEXT encodes. Unlike
+    token_round_trip (which resynthesizes KNOWN tokens and checks the
+    acoustic stack), this also judges the token LM: wrong or garbled
+    generated tokens surface as phoneme edits."""
+
+    def __init__(
+        self,
+        engine,
+        head: Optional[np.ndarray] = None,
+        code_map: Optional[np.ndarray] = None,
+        max_seconds: float = 30.0,
+    ):
+        from ..models import speech_tokenizer as st_lib
+
+        if head is None and code_map is None:
+            raise ValueError("need head and/or code_map")
+        self.a = engine.cfg.audio
+        a = self.a
+        st_cfg = engine.cfg.speech_tokenizer
+        tok_params = engine.params.speech_tokenizer
+        self._buckets = tuple(
+            a.prompt_sample_rate * s for s in (1, 2, 4, 8, 16, int(max_seconds))
+        )
+
+        def frames(wav16: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
+            mel16 = stft.log_mel_spectrogram(
+                wav16, a.prompt_sample_rate, a.prompt_n_fft,
+                a.prompt_hop_length, a.prompt_win_length,
+                n_mels=a.prompt_n_mels, fmax=a.prompt_fmax,
+            )
+            fmask = (
+                jnp.arange(mel16.shape[1])[None, :]
+                < (length[:, None] // a.prompt_hop_length) + 1
+            ).astype(jnp.float32)
+            res = st_lib.apply(tok_params, st_cfg, mel16, fmask)
+            if code_map is not None:
+                ids = jnp.asarray(code_map, jnp.int32)[res.tokens]
+            else:
+                logits = res.pre_vq.astype(jnp.float32) @ jnp.asarray(
+                    head, jnp.float32
+                )
+                ids = jnp.argmax(logits, -1)
+            # masked frames -> silence so collapse drops them
+            return jnp.where(res.token_mask, ids, 0)
+
+        self._frames = jax.jit(frames)
+
+    def transcribe(self, wav: np.ndarray, rate: Optional[int] = None) -> List[int]:
+        """wav (at `rate`, default audio.sample_rate) -> phoneme-id sequence."""
+        from ..ops.resample import resample_poly_np
+
+        a = self.a
+        w = np.asarray(wav, np.float32).ravel()
+        rate = rate or a.sample_rate
+        if rate != a.prompt_sample_rate:
+            w = resample_poly_np(w, rate, a.prompt_sample_rate)
+        T = _bucket(len(w), self._buckets)
+        buf = np.zeros((1, T), np.float32)
+        buf[0, : min(len(w), T)] = w[:T]
+        ids = np.asarray(
+            self._frames(jnp.asarray(buf), jnp.asarray([len(w)], jnp.int32))
+        )[0]
+        return collapse_phoneme_frames(ids)
+
+
+def fit_code_map(
+    engine, wavs_16k: Sequence[np.ndarray], phn_labels: Sequence[np.ndarray],
+    codebook_size: Optional[int] = None,
+) -> np.ndarray:
+    """VQ code -> phoneme id by majority vote over aligned (wav, labels)
+    pairs (labels at the 25 Hz token rate, train/synthcorpus.py). No
+    gradients, no engine mutation — the lookup-table recognizer for
+    PhonemeRecognizer(code_map=...). Codes never seen map to silence (0)."""
+    V = codebook_size or engine.cfg.speech_tokenizer.codebook_size
+    votes = np.zeros((V, 64), np.int64)   # 64 >> any phoneme inventory
+    for wav, phn in zip(wavs_16k, phn_labels):
+        feats = engine.prompt_features([np.asarray(wav, np.float32)])[0]
+        phn = np.asarray(phn, np.int64).ravel()
+        n = min(len(feats.tokens), len(phn))
+        np.add.at(votes, (feats.tokens[:n], np.clip(phn[:n], 0, 63)), 1)
+    code_map = votes.argmax(-1).astype(np.int32)
+    code_map[votes.sum(-1) == 0] = 0
+    return code_map
+
+
+def phoneme_error_rate(
+    recognizer: PhonemeRecognizer, wav_out: np.ndarray, text: str,
+) -> float:
+    """PER of synthesized audio against its input text (corpus orthography):
+    levenshtein(transcribed, expected) / len(expected). The framework's
+    strongest no-human intelligibility metric: it exercises text frontend ->
+    token LM -> CFM -> vocoder -> (independent) recognizer end to end."""
+    expected = text_to_phoneme_ids(text)
+    if not expected:
+        raise ValueError(f"text encodes no corpus phonemes: {text!r}")
+    pred = recognizer.transcribe(wav_out)
+    return levenshtein(pred, expected) / len(expected)
+
+
 def token_round_trip(engine, wav_out: np.ndarray, expected_tokens: np.ndarray):
     """Re-tokenize synthesized audio and measure agreement with the speech
     tokens that produced it — the intelligibility proxy the round-2 judge

@@ -159,6 +159,7 @@ def make_tokenizer_step(
     optimizer,
     n_phoneme_classes: int,
     aux_weight: float = 2.0,
+    usage_decay: float = 0.98,
 ):
     """Speech-tokenizer training: VQ-VAE losses + a supervised PHONETIC
     objective — a linear head on the pre-VQ encoding predicts frame-level
@@ -168,16 +169,30 @@ def make_tokenizer_step(
     (train/synthcorpus.py emits exact alignments; for found speech, a forced
     aligner's output drops into the same batch slot).
 
+    DEAD-CODE RESTARTS (round-3 fix): with gradient-only codebook updates,
+    codes that are never nearest get NO gradient — the randomly-initialized
+    codebook can collapse to ONE live code (the shipped round-2 fixture did
+    exactly that: every frame -> code 64; purity metrics were degenerate and
+    only the PER intelligibility gate caught it). SoundStream-style remedy:
+    track an EMA of per-code usage and re-seed codes whose share falls below
+    1/(8V) with random valid encoder frames from the current batch. The
+    restart also fixes init-scale mismatch automatically (re-seeded codes
+    live AT feature locations).
+
     params tree: {"tok": speech_tokenizer params, "head": [D, n_classes]}.
+    usage: [codebook_size] EMA of code usage share (init uniform 1/V).
     batch: {"wav16": [B, T], "len": [B], "phn": [B, T_tok], }
+    step -> (params, opt_state, usage, loss, ce, acc, n_used)
     """
     from ..models import speech_tokenizer as st_lib
+    from ..models.speech_tokenizer import quantize
     from ..ops import stft as stft_lib
 
     a = audio_cfg
+    V = st_cfg.codebook_size
 
-    @partial(jax.jit, donate_argnames=("params", "opt_state"))
-    def step(params, opt_state, batch, key):
+    @partial(jax.jit, donate_argnames=("params", "opt_state", "usage"))
+    def step(params, opt_state, usage, batch, key):
         def loss_fn(p):
             mel16 = stft_lib.log_mel_spectrogram(
                 batch["wav16"], a.prompt_sample_rate, a.prompt_n_fft,
@@ -211,21 +226,109 @@ def make_tokenizer_step(
             acc = jnp.sum(
                 (jnp.argmax(logits[:, :T], -1) == labels) * lm
             ) / jnp.maximum(jnp.sum(lm), 1.0)
-            return cb + commit + aux_weight * ce, (ce, acc)
+            aux = (ce, acc, jax.lax.stop_gradient(res.pre_vq),
+                   res.token_mask)
+            return cb + commit + aux_weight * ce, aux
 
-        (loss, (ce, acc)), grads = jax.value_and_grad(
+        (loss, (ce, acc, pre_vq, tmask)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, ce, acc
+        params = optax.apply_updates(params, updates)
+
+        # ---- usage EMA + dead-code restarts (on the UPDATED codebook)
+        tokens = quantize(params["tok"]["codebook"], pre_vq)
+        hist = (
+            jnp.zeros((V + 1,), jnp.float32)
+            .at[jnp.where(tmask, tokens, V).reshape(-1)]
+            .add(1.0)[:V]
+        )
+        n_used = jnp.sum((hist > 0).astype(jnp.int32))
+        share = hist / jnp.maximum(hist.sum(), 1.0)
+        usage = usage_decay * usage + (1.0 - usage_decay) * share
+        dead = usage < (1.0 / (8.0 * V))
+        flat = pre_vq.reshape(-1, pre_vq.shape[-1]).astype(
+            params["tok"]["codebook"].dtype
+        )
+        # sample restart candidates from VALID frames only
+        logp = jnp.log(tmask.reshape(-1).astype(jnp.float32) + 1e-9)
+        idx = jax.random.categorical(key, logp, shape=(V,))
+        params["tok"]["codebook"] = jnp.where(
+            dead[:, None], flat[idx], params["tok"]["codebook"]
+        )
+        # grace period: restarted codes start at uniform share
+        usage = jnp.where(dead, 1.0 / V, usage)
+        return params, opt_state, usage, loss, ce, acc, n_used
 
     return step
+
+
+def init_usage(st_cfg) -> jnp.ndarray:
+    """Uniform initial code-usage EMA for make_tokenizer_step."""
+    V = st_cfg.codebook_size
+    return jnp.full((V,), 1.0 / V, jnp.float32)
 
 
 def init_tokenizer_head(key, st_cfg, n_phoneme_classes: int) -> jnp.ndarray:
     return jax.random.normal(
         key, (st_cfg.dim, n_phoneme_classes)
     ) * st_cfg.dim ** -0.5
+
+
+def make_phn_head_step(
+    st_cfg,
+    audio_cfg,
+    optimizer,
+    n_phoneme_classes: int,
+):
+    """Fit ONLY the linear phoneme head on a FROZEN (already trained)
+    tokenizer — the standalone phoneme RECOGNIZER used by the intelligibility
+    gate (pipeline/simeval.phoneme_error_rate): frame features -> phoneme
+    logits, trained by masked CE against the corpus alignments. The joint
+    tokenizer stage (make_tokenizer_step) discards its head at engine export;
+    this stage re-derives one from any engine snapshot without touching the
+    snapshot's weights (so the recognizer can never 'train the test').
+
+    params: head [D, n_classes] only. batch: the tokenizer-stage batch
+    ({"wav16", "len", "phn"}). Returns (head, opt_state, ce, acc)."""
+    from ..models import speech_tokenizer as st_lib
+    from ..ops import stft as stft_lib
+
+    a = audio_cfg
+
+    @partial(jax.jit, donate_argnames=("head", "opt_state"))
+    def step(tok_params, head, opt_state, batch):
+        mel16 = stft_lib.log_mel_spectrogram(
+            batch["wav16"], a.prompt_sample_rate, a.prompt_n_fft,
+            a.prompt_hop_length, a.prompt_win_length,
+            n_mels=a.prompt_n_mels, fmax=a.prompt_fmax,
+        )
+        fmask = (
+            jnp.arange(mel16.shape[1])[None, :]
+            < (batch["len"][:, None] // a.prompt_hop_length) + 1
+        ).astype(jnp.float32)
+        res = st_lib.apply(tok_params, st_cfg, mel16, fmask)
+        feats = jax.lax.stop_gradient(res.pre_vq.astype(jnp.float32))
+        T = min(feats.shape[1], batch["phn"].shape[1])
+        labels = batch["phn"][:, :T]
+        lm = res.token_mask[:, :T].astype(jnp.float32)
+
+        def loss_fn(h):
+            logits = feats[:, :T] @ h
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.clip(labels, 0, n_phoneme_classes - 1)
+            )
+            ce = jnp.sum(ce * lm) / jnp.maximum(jnp.sum(lm), 1.0)
+            acc = jnp.sum(
+                (jnp.argmax(logits, -1) == labels) * lm
+            ) / jnp.maximum(jnp.sum(lm), 1.0)
+            return ce, acc
+
+        (ce, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(head)
+        updates, opt_state = optimizer.update(grads, opt_state, head)
+        return optax.apply_updates(head, updates), opt_state, ce, acc
+
+    return step
 
 
 def vq_losses(

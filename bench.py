@@ -589,11 +589,18 @@ def bench_stream_concurrent(engine, texts, style_text, style_feats,
     }
 
 
-def bench_embedder_3b(rtt_s: float):
+def bench_embedder_3b(rtt_s: float, synth_one=None):
     """Production-scale embedder (round-2 VERDICT #4): 3B geometry, int8
     weight-only, random weights — HBM fit + the SURVEY §3.2 hot loop's
     latencies (bio 250 tok sampled, emotion 10 tok greedy, 512-token embed
-    forward; milvus/RAG.py:176-184, :219-227, :129-147)."""
+    forward; milvus/RAG.py:176-184, :219-227, :129-147).
+
+    `synth_one(i)`: optional engine closure; when given, also measures the
+    FULL RAG TURN in one process — emotion label + 2x embed + 6144-d cosine
+    retrieval over 1k styles + DB-served synthesis (SURVEY §3's north star:
+    the reference splits this across two processes/GPUs with a JSONL file
+    between them; here the 3B embedder and the synthesis engine co-reside
+    in HBM and the turn is sequential device work)."""
     import jax
     import jax.numpy as jnp
 
@@ -642,6 +649,32 @@ def bench_embedder_3b(rtt_s: float):
         np.asarray(emb_fn(params, toks, amask)[:, 0])
 
     emb_s = _p50(embed, 5)
+
+    rag_turn_s = None
+    if synth_one is not None:
+        from autostyle_tts_tpu.retrieval import StyleStore
+
+        D = 2 * cfg.dim        # emotion ‖ biography (RAG.py:458 -> 6144)
+        store = StyleStore(dim=D, capacity=1024)
+        store.insert(
+            rng.standard_normal((1000, D)).astype(np.float32),
+            [{"file_id": str(i), "text": ""} for i in range(1000)],
+        )
+
+        def turn() -> None:
+            # per-turn emotion label (bio text is per-speaker, cached by the
+            # production path — but BOTH texts are embedded every turn,
+            # RAG.py create_combined_embedding :238-266)
+            gen(10, SamplerConfig.label())
+            e = emb_fn(params, toks[:1], amask[:1])[:, 0]
+            b = emb_fn(params, toks[1:2], amask[1:2])[:, 0]
+            q = np.concatenate([np.asarray(e)[0], np.asarray(b)[0]])
+            hits = store.search_arrays(q[None], k=1)
+            synth_one(int(hits[1][0, 0]) % 4)
+
+        turn()  # warm (synth buckets are already compiled by the headline)
+        rag_turn_s = _p50(turn, 5)
+
     out = {
         "hbm_weights_gb": round(hbm_gb, 2),
         "bio_250tok_s": round(bio_s, 3),
@@ -652,6 +685,13 @@ def bench_embedder_3b(rtt_s: float):
         "embed_qps": round(8 / emb_s, 1),
         "decode_ms_per_step": round((bio_s - emo_s) / 240 * 1e3, 2),
     }
+    if rag_turn_s is not None:
+        # full RAG turn (label + 2x embed + retrieve@1k + synthesize),
+        # 3B embedder co-resident with the engine — the reference's
+        # two-process file-handoff pipeline did label+embed+search on one
+        # GPU and synthesis on another at ~5 s+/turn (README.md:24 counts
+        # synthesis alone as <5 s)
+        out["rag_turn_e2e_s"] = round(rag_turn_s, 3)
 
     # int4 weight-only variant (the reference trained its LLM 4-bit nf4,
     # src/ft_llm.py:209-211): halves the decode weight stream again
@@ -988,7 +1028,9 @@ def main() -> None:
     retrieval = _section("retrieval", lambda: bench_retrieval(rng, rtt_s))
     if "error" in retrieval:
         retrieval = {"retrieval_error": retrieval["error"]}
-    embedder = _section("embedder", lambda: bench_embedder_3b(rtt_s))
+    embedder = _section("embedder", lambda: bench_embedder_3b(
+        rtt_s, synth_one=run_db
+    ))
     embedder7 = _section("embedder_7b", bench_embedder_7b)
 
     print(

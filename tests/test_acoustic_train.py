@@ -124,3 +124,52 @@ def test_vq_gradients_flow_to_encoder_and_codebook(cfg):
     g_enc = jax.grad(lambda h: acoustic.vq_losses(codebook, h, mask)[1])(pre)
     assert float(jnp.abs(g_cb).max()) > 0
     assert float(jnp.abs(g_enc).max()) > 0
+
+
+def test_tokenizer_step_restarts_dead_codes(cfg):
+    """VQ collapse regression (round-3): a codebook initialized FAR from the
+    feature distribution collapses to ~1 live code under gradient-only
+    updates; the usage-EMA dead-code restarts must re-seed codes onto the
+    features so batch code usage recovers (the round-2 shipped fixture
+    collapsed exactly this way — every frame mapped to one code, and the
+    purity/round-trip gates were degenerate)."""
+    st = cfg.speech_tokenizer
+    a = cfg.audio
+    opt = acoustic.default_optimizer(lr=1e-3)
+    # fast-decay usage so dead codes are detected within a few steps
+    step = acoustic.make_tokenizer_step(st, a, opt, 8, usage_decay=0.5)
+    params = {
+        "tok": __import__(
+            "autostyle_tts_tpu.models.speech_tokenizer",
+            fromlist=["init_params"],
+        ).init_params(jax.random.PRNGKey(0), st),
+        "head": acoustic.init_tokenizer_head(jax.random.PRNGKey(1), st, 8),
+    }
+    # push the codebook far away: everything quantizes to one nearest code
+    params["tok"]["codebook"] = (
+        params["tok"]["codebook"] + 50.0
+    )
+    opt_state = opt.init(params)
+    usage = acoustic.init_usage(st)
+    rng = np.random.default_rng(0)
+    T = a.prompt_sample_rate  # 1 s
+    batch = {
+        "wav16": jnp.asarray(
+            0.3 * np.sin(2 * np.pi * 220 * np.arange(2 * T).reshape(2, T)
+                         / a.prompt_sample_rate)
+            + 0.05 * rng.standard_normal((2, T)), jnp.float32
+        ),
+        "len": jnp.asarray([T, T // 2], jnp.int32),
+        "phn": jnp.asarray(rng.integers(0, 8, (2, 64)), jnp.int32),
+    }
+    used = []
+    for i in range(10):
+        params, opt_state, usage, loss, ce, acc, n_used = step(
+            params, opt_state, usage, batch, jax.random.PRNGKey(i)
+        )
+        used.append(int(n_used))
+    # collapsed at first (codebook offset +50 -> one nearest code), alive
+    # after restarts kick in
+    assert used[0] <= 2, used
+    assert used[-1] >= 4, used
+    assert float(jnp.abs(params["tok"]["codebook"]).max()) < 60.0

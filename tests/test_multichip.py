@@ -137,6 +137,43 @@ def test_engine_mesh_dp_parity():
         np.testing.assert_allclose(g, r, atol=1e-4)
 
 
+def test_engine_mesh_dp_tp_parity():
+    """Full Engine path on a dp2 x tp4 mesh: Megatron col/row shardings on
+    every net (token LM, CFM estimator, vocoder, tokenizer, speaker encoder)
+    with XLA-inserted collectives must reproduce the single-device output.
+    Complements test_engine_mesh_dp_parity (model=1): this exercises the
+    MODEL-axis rules end to end, not just per-component."""
+    from autostyle_tts_tpu.pipeline.engine import Engine
+
+    cfg = tiny_config()
+    mesh = make_mesh(data=2, model=4)
+    sr = cfg.audio.prompt_sample_rate
+    t = np.arange(sr) / sr
+    rng = np.random.default_rng(11)
+    texts = ["hello there", "general kenobi you are"]
+    styles = ["style a", "style b"]
+    sty_wavs = [
+        (0.3 * np.sin(2 * np.pi * f * t)
+         + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+        for f in (210, 320)
+    ]
+    tim_wavs = [
+        (0.3 * np.sin(2 * np.pi * f * t)
+         + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+        for f in (190, 280)
+    ]
+
+    ref = Engine(cfg, seed=5).synthesize_batch(texts, styles, sty_wavs, tim_wavs)
+    eng = Engine(cfg, seed=5, mesh=mesh)
+    assert eng.dp == 2
+    with mesh:
+        got = eng.synthesize_batch(texts, styles, sty_wavs, tim_wavs)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(g, r, atol=2e-4)
+
+
 def test_engine_mesh_pads_ragged_batch():
     """Batch of 3 on a dp=4 mesh: padded internally, 3 outputs returned."""
     from autostyle_tts_tpu.pipeline.engine import Engine

@@ -192,6 +192,70 @@ def test_kaldi_fbank_shapes_and_cmn():
     np.testing.assert_allclose(feat.mean(axis=0), 0.0, atol=1e-4)
 
 
+def _kaldi_fbank_cleanroom(wav: np.ndarray) -> np.ndarray:
+    """Independent float64 NumPy implementation of the upstream frontend's
+    torchaudio.compliance.kaldi.fbank(num_mel_bins=80, dither=0, sr=16000,
+    defaults) + CMN, written directly from the kaldi algorithm (feature-
+    window.cc ProcessWindow order: dc-offset -> preemphasis -> povey window;
+    mel.cc mel-domain triangles over fft bins 0..n_fft/2-1; natural log with
+    FLT_EPSILON floor; float wav consumed UNSCALED). Shares no code with
+    models/compat/campplus.kaldi_fbank — np.fft here vs the module's GEMM
+    DFT — so agreement validates both against the spec (the env has no
+    torchaudio to compare with, docs/WEIGHTS.md)."""
+    FRAME_LEN, HOP, NFFT, NMEL = 400, 160, 512, 80
+    n = 1 + (len(wav) - FRAME_LEN) // HOP
+    frames = np.stack(
+        [wav[i * HOP: i * HOP + FRAME_LEN] for i in range(n)]
+    ).astype(np.float64)
+    frames = frames - frames.mean(-1, keepdims=True)            # dc offset
+    pre = np.concatenate([frames[:, :1], frames[:, :-1]], -1)   # replicate pad
+    frames = frames - 0.97 * pre                                # preemphasis
+    win = (0.5 - 0.5 * np.cos(
+        2 * np.pi * np.arange(FRAME_LEN) / (FRAME_LEN - 1))) ** 0.85
+    frames = frames * win                                       # povey
+    padded = np.zeros((n, NFFT))
+    padded[:, :FRAME_LEN] = frames                              # left-aligned
+    spec = np.abs(np.fft.rfft(padded, axis=-1)) ** 2            # [n, 257]
+    num_bins = NFFT // 2                                        # no nyquist
+    mel = lambda f: 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+    mlo, mhi = mel(20.0), mel(8000.0)
+    mel_freqs = mel(np.arange(num_bins) * 16000.0 / NFFT)
+    fb = np.zeros((NFFT // 2 + 1, NMEL))
+    delta = (mhi - mlo) / (NMEL + 1)
+    for m in range(NMEL):
+        left, center = mlo + m * delta, mlo + (m + 1) * delta
+        right = mlo + (m + 2) * delta
+        up = (mel_freqs - left) / (center - left)
+        down = (right - mel_freqs) / (right - center)
+        fb[:num_bins, m] = np.maximum(0.0, np.minimum(up, down))
+    feat = np.log(np.maximum(spec @ fb, 1.1921e-07))
+    return feat - feat.mean(0, keepdims=True)
+
+
+def test_kaldi_fbank_matches_cleanroom_reference():
+    """The jitted GEMM-DFT fbank must agree with the independent np.fft
+    float64 clean-room implementation to float32 tolerance — this is the
+    strongest kaldi-parity evidence available in a zero-egress env. Both a
+    harmonic voice-like signal and one with silent stretches (exercising
+    the log floor, where a wrong wav scaling shifts bins by ~0.2)."""
+    from autostyle_tts_tpu.models.compat.campplus import kaldi_fbank
+
+    rng = np.random.default_rng(0)
+    t = np.arange(16000 * 2) / 16000.0
+    voiced = (
+        0.3 * np.sin(2 * np.pi * 220 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+        + 0.05 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+    gated = voiced.copy()
+    gated[4000:12000] = 0.0       # hard silence: floor-bound frames
+    gated[20000:24000] *= 1e-5    # near-silence
+    for wav in (voiced, gated):
+        ref = _kaldi_fbank_cleanroom(wav.astype(np.float64))
+        got = np.asarray(kaldi_fbank(jnp.asarray(wav)))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
 def test_convert_cli_campplus_graph_and_engine_embedding(tmp_path):
     """End to end: synthetic release dir (with campplus.onnx nodes) ->
     convert CLI --strict -> snapshot -> CosyEngine.embed_speaker_wav16."""

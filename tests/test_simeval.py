@@ -134,3 +134,56 @@ def test_retrieval_report_cli_on_reference_corpus(tmp_path):
           "--output_json", str(out), "--fail_below_recall", "1.0"])
     rep2 = json.loads(out.read_text())
     assert rep2["recall_at_k"] == 1.0
+
+
+def test_levenshtein_and_collapse():
+    from autostyle_tts_tpu.pipeline.simeval import (
+        collapse_phoneme_frames, levenshtein, text_to_phoneme_ids,
+    )
+
+    assert levenshtein([], []) == 0
+    assert levenshtein([1, 2, 3], [1, 2, 3]) == 0
+    assert levenshtein([1, 2, 3], [1, 3]) == 1          # delete
+    assert levenshtein([1, 2, 3], [1, 2, 4, 3]) == 1    # insert
+    assert levenshtein([1, 2, 3], [1, 9, 3]) == 1       # substitute
+    assert levenshtein("kitten", "sitting") == 3        # classic
+    # collapse: merge runs, drop silence (0)
+    assert collapse_phoneme_frames([0, 0, 5, 5, 5, 0, 3, 3, 5]) == [5, 3, 5]
+    assert collapse_phoneme_frames([]) == []
+    assert collapse_phoneme_frames([0, 0]) == []
+    # orthography: letters map through PHONE_ID; spaces/unknowns dropped
+    from autostyle_tts_tpu.train.synthcorpus import PHONE_ID
+
+    ids = text_to_phoneme_ids("ma pa")
+    assert ids == [PHONE_ID["m"], PHONE_ID["a"], PHONE_ID["p"], PHONE_ID["a"]]
+
+
+def test_phoneme_recognizer_on_random_engine():
+    """Recognizer machinery (shape/plumbing) on an untrained tiny engine:
+    transcribe runs, returns a (possibly empty) id sequence, and PER against
+    a corpus text is finite. Quality is gated by the trained-demo test."""
+    import jax
+
+    from autostyle_tts_tpu.pipeline.engine import Engine
+    from autostyle_tts_tpu.pipeline.simeval import (
+        PhonemeRecognizer, phoneme_error_rate,
+    )
+    from autostyle_tts_tpu.train.synthcorpus import N_PHONEME_CLASSES
+
+    cfg = tiny_config()
+    eng = Engine(cfg, seed=0)
+    head = np.asarray(
+        jax.random.normal(
+            jax.random.PRNGKey(0),
+            (cfg.speech_tokenizer.dim, N_PHONEME_CLASSES),
+        )
+    )
+    rec = PhonemeRecognizer(eng, head)
+    sr = cfg.audio.sample_rate
+    wav = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(
+        np.float32
+    )
+    seq = rec.transcribe(wav)
+    assert isinstance(seq, list)
+    per = phoneme_error_rate(rec, wav, "ma pa ta")
+    assert np.isfinite(per) and per >= 0.0
