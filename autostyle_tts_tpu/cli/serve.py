@@ -216,7 +216,9 @@ def main(argv=None) -> None:
     p.add_argument("--megakernel", action="store_true",
                    help="--continuous: fuse each batched decode step into "
                         "one pallas program (needs an int8-quantized LM and "
-                        "a bf16 KV pool; tests/test_pallas_chunk.py parity)")
+                        "a bf16 KV pool; tests/test_pallas_chunk.py parity). "
+                        "EXPERIMENT ONLY: measured 23x slower than the XLA "
+                        "chunk path on-chip (benchmarks/README.md)")
     args = p.parse_args(argv)
 
     engine = build_engine(args)

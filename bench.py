@@ -398,9 +398,11 @@ def bench_chunk_mega(engine, B: int = 8, chunk: int = 32, s_max: int = 552,
     and int8 KV pools) vs the fused chunk megakernel
     (ops/pallas_decode.mega_chunk_step) at slot-pool geometry. Random
     state/weights — pure step-time measurement; greedy/sampled parity is
-    covered by tests/test_pallas_chunk.py. Profiled XLA decode_chunk was
-    2.2 ms/step (bf16 KV) against a ~0.6 ms stream floor; the kernel's win
-    condition is fusing the ~200-op step into one program."""
+    covered by tests/test_pallas_chunk.py. On-chip verdict (v5e, round 3):
+    XLA decode_chunk 1.9 ms/step (bf16 and int8 KV tie); the megakernel
+    LOSES at 44.7 ms/step (int4 108.7) — its per-grid-step slot-cache DMAs
+    re-stream each slot's history per batch element. Kept as a section so
+    regressions/improvements in either path stay visible."""
     import jax
     import jax.numpy as jnp
 
