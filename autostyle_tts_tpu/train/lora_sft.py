@@ -86,13 +86,17 @@ class Batch:
 
 def make_packed_batches(
     samples: List[dict], max_seq_len: int, batch_size: int,
-    seed: int = 0, shuffle: bool = True,
+    seed: int = 0, shuffle: bool = True, pad_to_batch: bool = False,
 ) -> Iterator["PackedBatch"]:
     """Sequence packing (TRL SFTTrainer packing=True parity, ft_llm.py:295):
     greedily packs whole chat samples into rows up to max_seq_len; a segment
     id per token builds a block-diagonal attention mask so packed samples
     never attend across boundaries. Cuts padding waste massively on short
-    ERC prompts."""
+    ERC prompts.
+
+    pad_to_batch: emit every batch at exactly [batch_size, max_seq_len]
+    (trailing all-pad rows carry segment_ids 0 so their loss weight is 0) —
+    static shapes, one compile on the train path."""
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(samples)) if shuffle else np.arange(len(samples))
     rendered = []
@@ -116,7 +120,7 @@ def make_packed_batches(
 
     for s in range(0, len(rows), batch_size):
         chunk = rows[s : s + batch_size]
-        B = len(chunk)
+        B = batch_size if pad_to_batch else len(chunk)
         toks = np.zeros((B, max_seq_len), np.int32)
         mask = np.zeros((B, max_seq_len), np.int32)
         seg = np.zeros((B, max_seq_len), np.int32)  # 0 = padding
@@ -272,14 +276,21 @@ class TrainState:
 
 
 def make_train_step(
-    cfg: TransformerConfig, tcfg: TrainConfig, optimizer: optax.GradientTransformation
+    cfg: TransformerConfig, tcfg: TrainConfig,
+    optimizer: optax.GradientTransformation, packed: Optional[bool] = None,
 ):
+    """One jitted SFT step. packed=None follows tcfg.packing (the production
+    default). The third data argument is `length` [B] unpacked or
+    `segment_ids` [B, T] packed."""
     lora_scale = tcfg.lora.alpha / tcfg.lora.r
+    loss_fn = packed_sft_loss if (
+        tcfg.packing if packed is None else packed
+    ) else sft_loss
 
     @partial(jax.jit, donate_argnames=("lora", "opt_state"))
-    def train_step(lora, opt_state, params, tokens, loss_mask, length, key):
-        loss, grads = jax.value_and_grad(sft_loss)(
-            lora, params, cfg, tokens, loss_mask, length, key,
+    def train_step(lora, opt_state, params, tokens, loss_mask, aux, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            lora, params, cfg, tokens, loss_mask, aux, key,
             lora_scale=lora_scale, neftune_alpha=tcfg.neftune_alpha,
             remat=tcfg.remat,
         )
@@ -372,12 +383,29 @@ def train(
     out_dir: str = "./finetuned_llm",
     log_every: int = 50,
 ) -> Dict:
-    """Full SFT driver: grad-accum, linear LR, eval/save every N steps,
-    best-by-F1 selection, resume from latest checkpoint (the reference
-    Trainer behaviours, ft_llm.py:263-315)."""
+    """Full SFT driver: sequence packing (default, ft_llm.py:302), grad-accum,
+    linear LR, eval/save every N steps, best-by-F1 selection, resume from
+    latest checkpoint (the reference Trainer behaviours, ft_llm.py:263-315)."""
     key = jax.random.PRNGKey(tcfg.seed)
     lora = core.init_lora(key, cfg, tcfg.lora.r)
-    steps_per_epoch = max(1, len(train_samples) // (tcfg.batch_size * tcfg.grad_accum))
+
+    def epoch_batches(epoch: int) -> List:
+        if tcfg.packing:
+            # packed rows (TRL packing=True, ft_llm.py:302): static
+            # [batch_size, max_seq_len] shapes via trailing pad rows
+            return list(make_packed_batches(
+                train_samples, tcfg.max_seq_len, tcfg.batch_size,
+                seed=tcfg.seed + epoch, pad_to_batch=True,
+            ))
+        return list(make_batches(
+            train_samples, tcfg.max_seq_len, tcfg.batch_size,
+            seed=tcfg.seed + epoch, drop_last=True,
+        ))
+
+    # packing compresses the epoch: count the real micro-batches (the LR
+    # schedule and resume contract run on APPLIED steps, like the reference)
+    micro_per_epoch = len(epoch_batches(0))
+    steps_per_epoch = max(1, micro_per_epoch // tcfg.grad_accum)
     total_steps = steps_per_epoch * tcfg.epochs
     # TRUE gradient accumulation: MultiSteps averages grads over grad_accum
     # micro-batches and applies ONE update — the inner schedule advances per
@@ -407,17 +435,14 @@ def train(
     for epoch in range(tcfg.epochs):
         if done:
             break
-        batches = make_batches(
-            train_samples, tcfg.max_seq_len, tcfg.batch_size,
-            seed=tcfg.seed + epoch, drop_last=True,
-        )
         micro = 0
-        for batch in batches:
+        for batch in epoch_batches(epoch):
             key, sub = jax.random.split(key)
+            aux = batch.segment_ids if tcfg.packing else batch.length
             lora, opt_state, loss = step_fn(
                 lora, opt_state, params,
                 jnp.asarray(batch.tokens), jnp.asarray(batch.loss_mask),
-                jnp.asarray(batch.length), sub,
+                jnp.asarray(aux), sub,
             )
             micro += 1
             if micro % tcfg.grad_accum:
@@ -461,7 +486,9 @@ def train(
 
 def dryrun_train_step(n_devices: int) -> None:
     """Jit the FULL train step over a (data x model) mesh with dp+tp
-    shardings and run ONE step on tiny shapes (driver contract)."""
+    shardings and run ONE step on tiny shapes (driver contract). Exercises
+    the PRODUCTION packed step (tcfg.packing default): segment ids carry
+    two packed samples per row so the block-diagonal mask path shards."""
     model = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
     mesh = make_mesh(data=n_devices // model, model=model)
     cfg = TransformerConfig(
@@ -479,7 +506,11 @@ def dryrun_train_step(n_devices: int) -> None:
     B, T = tcfg.batch_size, tcfg.max_seq_len
     tokens = rng.integers(16, 272, (B, T)).astype(np.int32)
     loss_mask = (rng.random((B, T)) > 0.5).astype(np.int32)
-    length = np.full((B,), T, np.int32)
+    # two packed segments per row + trailing pad (production batch layout)
+    seg = np.zeros((B, T), np.int32)
+    seg[:, : T // 2] = 1
+    seg[:, T // 2 : T - 4] = 2
+    loss_mask[:, T - 4 :] = 0
 
     with mesh:
         p_sh = jax.device_put(params, param_shardings(mesh, params))
@@ -488,9 +519,9 @@ def dryrun_train_step(n_devices: int) -> None:
         bsh = batch_sharding(mesh, 2)
         tok = jax.device_put(jnp.asarray(tokens), bsh)
         lm = jax.device_put(jnp.asarray(loss_mask), bsh)
-        ln = jax.device_put(jnp.asarray(length), batch_sharding(mesh, 1))
+        sg = jax.device_put(jnp.asarray(seg), bsh)
         lora2, opt2, loss = step_fn(
-            l_sh, o_sh, p_sh, tok, lm, ln, jax.random.PRNGKey(2)
+            l_sh, o_sh, p_sh, tok, lm, sg, jax.random.PRNGKey(2)
         )
         loss.block_until_ready()
     assert np.isfinite(float(loss)), "dry-run loss not finite"

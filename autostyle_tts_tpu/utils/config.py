@@ -239,6 +239,11 @@ class TrainConfig:
     save_every: int = 50
     neftune_alpha: float = 5.0
     remat: bool = True
+    # sequence packing (TRL SFTTrainer packing=True, src/ft_llm.py:302):
+    # whole chat samples greedily packed into max_seq_len rows with a
+    # block-diagonal attention mask + per-segment RoPE restart. Default ON
+    # like the reference — ERC prompts are short, packing cuts steps ~severalx.
+    packing: bool = True
     lora: LoRAConfig = field(default_factory=LoRAConfig)
 
 

@@ -137,7 +137,7 @@ def test_sft_step_reduces_loss():
     lora = core.init_lora(jax.random.PRNGKey(1), cfg, tcfg.lora.r)
     opt = lora_sft.make_optimizer(tcfg, 100)
     opt_state = opt.init(lora)
-    step = lora_sft.make_train_step(cfg, tcfg, opt)
+    step = lora_sft.make_train_step(cfg, tcfg, opt, packed=False)
     batch = next(lora_sft.make_batches(_samples(), 48, 4, shuffle=False))
     args = (jnp.asarray(batch.tokens), jnp.asarray(batch.loss_mask),
             jnp.asarray(batch.length))
@@ -158,7 +158,7 @@ def test_base_params_frozen():
     before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), params)
     lora = core.init_lora(jax.random.PRNGKey(1), cfg, 4)
     opt = lora_sft.make_optimizer(tcfg, 10)
-    step = lora_sft.make_train_step(cfg, tcfg, opt)
+    step = lora_sft.make_train_step(cfg, tcfg, opt, packed=False)
     batch = next(lora_sft.make_batches(_samples(4), 32, 2, shuffle=False))
     step(lora, opt.init(lora), params, jnp.asarray(batch.tokens),
          jnp.asarray(batch.loss_mask), jnp.asarray(batch.length),
@@ -201,9 +201,11 @@ def test_evaluate_generation_runs():
 
 
 def test_train_driver_smoke(tmp_path):
+    """Driver default path — PACKED (TRL packing=True, ft_llm.py:302)."""
     cfg = _cfg()
     tcfg = TrainConfig(batch_size=2, grad_accum=2, epochs=1, max_seq_len=48,
                        eval_every=1000, save_every=2, remat=False)
+    assert tcfg.packing  # packing is the production default
     params = core.init_params(jax.random.PRNGKey(0), cfg)
     res = lora_sft.train(
         params, cfg, tcfg, _samples(8), out_dir=str(tmp_path / "ft")
@@ -212,6 +214,35 @@ def test_train_driver_smoke(tmp_path):
     assert (tmp_path / "ft" / "history.json").exists()
     ckpts = list((tmp_path / "ft").glob("checkpoint-*"))
     assert len(ckpts) == 1  # save_total_limit
+
+
+def test_train_driver_unpacked(tmp_path):
+    cfg = _cfg()
+    tcfg = TrainConfig(batch_size=2, grad_accum=2, epochs=1, max_seq_len=48,
+                       eval_every=1000, save_every=2, remat=False,
+                       packing=False)
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    res = lora_sft.train(
+        params, cfg, tcfg, _samples(8), out_dir=str(tmp_path / "ft")
+    )
+    assert res["steps"] >= 2
+
+
+def test_packing_cuts_steps():
+    """Packing compresses short ERC prompts severalfold: the packed epoch
+    has strictly fewer micro-batches than the unpacked one at the same
+    (batch_size, max_seq_len) — the reason TRL defaults packing on."""
+    samples = _samples(16)
+    unpacked = list(lora_sft.make_batches(samples, 128, 2, shuffle=False))
+    packed = list(lora_sft.make_packed_batches(samples, 128, 2, shuffle=False))
+    assert len(packed) < len(unpacked)
+    # static shapes on the train path: pad_to_batch fills the ragged tail
+    padded = list(lora_sft.make_packed_batches(
+        samples, 128, 2, shuffle=False, pad_to_batch=True
+    ))
+    assert all(b.tokens.shape == (2, 128) for b in padded)
+    # pad rows are segment-0 everywhere -> zero loss weight
+    assert (padded[-1].loss_mask[padded[-1].segment_ids == 0] == 0).all()
 
 
 # ----------------------------------------------------------------------- multichip
