@@ -78,6 +78,24 @@ def test_batch_matches_shapes(engine):
         assert w.ndim == 1 and w.size > 0 and np.isfinite(w).all()
 
 
+def test_fused_b1_matches_staged():
+    """The fused B=1 synth_one program (LM + CFM + vocoder + crop in one
+    dispatch) must produce the same audio as the staged path (profile=True
+    forces staging) — same seed, same key-split order, f16 fetch rounding
+    is the only allowed difference."""
+    e_fused = Engine(tiny_config(), seed=7)
+    e_staged = Engine(tiny_config(), seed=7, profile=True)
+    sty, tim = _wav(seed=1, f=200), _wav(seed=2, f=300)
+    wf = list(e_fused.inference_tts_with_st("fused parity", "style", sty, tim))
+    ws = list(e_staged.inference_tts_with_st("fused parity", "style", sty, tim))
+    a, b = wf[0]["tts_speech"], ws[0]["tts_speech"]
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-3)  # f16 mantissa on [-1, 1]
+    # fused path really ran (observability span)
+    assert "synth_one" in e_fused.watch.spans
+    assert "lm_generate" in e_staged.watch.spans
+
+
 def test_deterministic_given_same_engine_seed():
     e1 = Engine(tiny_config(), seed=42)
     e2 = Engine(tiny_config(), seed=42)
