@@ -1,4 +1,4 @@
-"""Text normalization (TN): number/date/abbreviation expansion for EN + ZH.
+"""Text normalization (TN): number/date/abbreviation expansion for EN/ZH/JA.
 
 The reference's synthesis engine shipped full TN inside its text frontend
 (SURVEY §2.3.1 "Text frontend" row — CosyVoice used a ttsfrd-class
@@ -11,6 +11,9 @@ byte digits. This module verbalizes:
   ZH: cardinals (一百二十三), decimals (三点一四), percent (百分之…),
       currency (¥/元), years read digit-wise (2024年 → 二零二四年),
       dates (5月3日), times (3:30 → 三点三十分), digit strings
+  JA: kanji cardinals with JA idioms (105 → 百五, 100 → 百, 10000 → 一万),
+      years as cardinals (2024年 → 二千二十四年), dates, clock times with
+      時 (3:30 → 三時三十分), Nパーセント, 円, digit strings with 〇
 
 Host-side, pure Python, deterministic; runs BEFORE tokenization. Language
 comes from the caller (tag or frontend.detect_language).
@@ -314,10 +317,112 @@ def normalize_zh(text: str) -> str:
     return text
 
 
+# ----------------------------------------------------------------- JA numbers
+
+# Japanese kanji readings differ from Chinese in three structural ways the
+# ZH rules get wrong: no interior zero marker (105 = 百五, not 一百零五),
+# no leading 一 before 十/百/千 (100 = 百, 1000 = 千 — but 10000 keeps it:
+# 一万), and clock readings use 時 (三時三十分), not 点. Digit-wise strings
+# read with 〇 for zero; percent is パーセント; yen is 円.
+
+_JA_DIGITS = "〇一二三四五六七八九"
+_JA_UNITS = ["", "十", "百", "千"]
+_JA_GROUPS = ["", "万", "億"]
+
+
+def num_to_words_ja(n: int) -> str:
+    """Standard Japanese kanji cardinal, 0 <= n < 1e12."""
+    if n < 0:
+        return "マイナス" + num_to_words_ja(-n)
+    if n == 0:
+        return "ゼロ"
+    groups: List[int] = []
+    while n:
+        groups.append(n % 10000)
+        n //= 10000
+    parts: List[str] = []
+    for gi in range(len(groups) - 1, -1, -1):
+        g = groups[gi]
+        if g == 0:
+            continue
+        s = ""
+        for pos in range(3, -1, -1):
+            d = (g // 10 ** pos) % 10
+            if d == 0:
+                continue
+            # drop the 一 before 十/百/千 (JA idiom); groups of 万/億 keep
+            # it (一万, 一億)
+            if d == 1 and pos >= 1:
+                s += _JA_UNITS[pos]
+            else:
+                s += _JA_DIGITS[d] + _JA_UNITS[pos]
+        if gi > 0 and s == "":
+            continue
+        if gi > 0 and g == 1:
+            s = "一"
+        parts.append(s + _JA_GROUPS[gi])
+    return "".join(parts)
+
+
+def digits_to_words_ja(s: str) -> str:
+    return "".join(_JA_DIGITS[int(d)] for d in s)
+
+
+_RE_JA_YEAR = re.compile(r"(\d{2,4})年")
+_RE_JA_DATE = re.compile(r"(\d{1,2})月(\d{1,2})日")
+_RE_JA_TIME = re.compile(r"(\d{1,2}):(\d{2})(?::\d{2})?")
+_RE_JA_PERCENT = re.compile(r"(\d[\d,]*(?:\.\d+)?)\s?[%％]")
+_RE_JA_CURRENCY = re.compile(r"[¥￥]\s?(\d[\d,]*(?:\.\d+)?)|(\d[\d,]*(?:\.\d+)?)円")
+_RE_JA_DECIMAL = re.compile(r"(\d[\d,]*)\.(\d+)")
+_RE_JA_LONG = re.compile(r"\d{7,}")
+_RE_JA_INT = re.compile(r"\d[\d,]*")
+
+
+def _ja_value(s: str) -> str:
+    s = s.replace(",", "")
+    if "." in s:
+        a, b = s.split(".", 1)
+        return num_to_words_ja(int(a)) + "点" + digits_to_words_ja(b)
+    return num_to_words_ja(int(s))
+
+
+def normalize_ja(text: str) -> str:
+    # years read as cardinals (2024年 -> 二千二十四年), unlike ZH digit-wise
+    text = _RE_JA_YEAR.sub(
+        lambda m: num_to_words_ja(int(m.group(1))) + "年", text)
+    text = _RE_JA_DATE.sub(
+        lambda m: num_to_words_ja(int(m.group(1))) + "月"
+        + num_to_words_ja(int(m.group(2))) + "日", text)
+
+    def time_sub(m: "re.Match[str]") -> str:
+        h, mi = int(m.group(1)), int(m.group(2))
+        if not (0 <= h <= 24):
+            return m.group(0)
+        out = num_to_words_ja(h) + "時"
+        if mi:
+            out += num_to_words_ja(mi) + "分"
+        return out
+
+    text = _RE_JA_TIME.sub(time_sub, text)
+    text = _RE_JA_PERCENT.sub(
+        lambda m: _ja_value(m.group(1)) + "パーセント", text)
+    text = _RE_JA_CURRENCY.sub(
+        lambda m: _ja_value(m.group(1) or m.group(2)) + "円", text)
+    text = _RE_JA_DECIMAL.sub(
+        lambda m: num_to_words_ja(int(m.group(1).replace(",", ""))) + "点"
+        + digits_to_words_ja(m.group(2)), text)
+    text = _RE_JA_LONG.sub(lambda m: digits_to_words_ja(m.group(0)), text)
+    text = _RE_JA_INT.sub(
+        lambda m: num_to_words_ja(int(m.group(0).replace(",", ""))), text)
+    return text
+
+
 def normalize_numbers(text: str, language: str) -> str:
-    """Language-dispatched TN. jp/yue/ko currently route to the ZH digit
-    rules for numerals (shared Han numeral system) — same behaviour class as
-    the reference's frontend, which ran one normalizer per script family."""
+    """Language-dispatched TN (EN / ZH / JA). yue/ko route to the ZH digit
+    rules (shared Han numeral system) — same behaviour class as the
+    reference's frontend, which ran one normalizer per script family."""
     if language == "en":
         return normalize_en(text)
+    if language in ("jp", "ja"):
+        return normalize_ja(text)
     return normalize_zh(text)

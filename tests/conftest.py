@@ -20,6 +20,14 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Anything not marked slow is the fast tier: `pytest -m fast` is the
+    ~3-min iteration loop, the full run stays the CI gate (VERDICT r3 #7)."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from autostyle_tts_tpu.parallel.mesh import make_mesh

@@ -1,11 +1,13 @@
-"""Golden tests for EN/ZH text normalization (SURVEY §2.3.1 frontend row:
-the reference engine shipped ttsfrd-class TN; round-1 gap VERDICT#3)."""
+"""Golden tests for EN/ZH/JA text normalization (SURVEY §2.3.1 frontend row:
+the reference engine shipped ttsfrd-class TN; round-1 gap VERDICT#3; JA
+added per round-3 VERDICT #8 — language tags at /root/reference/basic.py:13
+include <|jp|> and the README claims EN/ZH/JA)."""
 
 import pytest
 
 from autostyle_tts_tpu.models.textnorm import (
-    normalize_en, normalize_zh, num_to_words_en, num_to_words_zh,
-    ordinal_to_words_en, year_to_words_en,
+    normalize_en, normalize_ja, normalize_zh, num_to_words_en,
+    num_to_words_ja, num_to_words_zh, ordinal_to_words_en, year_to_words_en,
 )
 
 
@@ -87,6 +89,49 @@ def test_num_to_words_zh(n, w):
 ])
 def test_normalize_zh_golden(src, dst):
     assert normalize_zh(src) == dst
+
+
+@pytest.mark.parametrize("n,w", [
+    (0, "ゼロ"), (5, "五"), (10, "十"), (11, "十一"), (20, "二十"),
+    # JA drops the interior zero marker and the leading 一 before 十/百/千
+    # (the two readings the ZH rules get wrong: 一百零五 / 一百 / 一千)
+    (100, "百"), (105, "百五"), (123, "百二十三"), (1000, "千"),
+    (1001, "千一"), (10000, "一万"), (10005, "一万五"),
+    (10500, "一万五百"), (2024, "二千二十四"),
+    (100000000, "一億"), (123456789, "一億二千三百四十五万六千七百八十九"),
+])
+def test_num_to_words_ja(n, w):
+    assert num_to_words_ja(n) == w
+
+
+@pytest.mark.parametrize("src,dst", [
+    ("りんごが123個あります", "りんごが百二十三個あります"),
+    # years read as CARDINALS (二千二十四年), not digit-wise like ZH
+    ("2024年5月3日", "二千二十四年五月三日"),
+    # clock readings use 時, not the ZH 点
+    ("今は3:30です", "今は三時三十分です"),
+    ("今は3:05です", "今は三時五分です"),
+    ("45%上がった", "四十五パーセント上がった"),
+    ("3.14です", "三点一四です"),
+    ("¥250", "二百五十円"),
+    ("全部で100円", "全部で百円"),
+    ("電話は0312345678", "電話は〇三一二三四五六七八"),
+])
+def test_normalize_ja_golden(src, dst):
+    assert normalize_ja(src) == dst
+
+
+def test_ja_dispatch_via_frontend():
+    """The frontend's <|jp|> tag / kana detection must route to the JA
+    rules (round-3 VERDICT #8: JA previously fell through to ZH)."""
+    from autostyle_tts_tpu.models.frontend import detect_language, normalize
+    from autostyle_tts_tpu.models.textnorm import normalize_numbers
+
+    assert detect_language("こんにちは") == "jp"
+    assert normalize_numbers("3:30", "jp") == "三時三十分"
+    assert normalize_numbers("3:30", "ja") == "三時三十分"
+    out = normalize("<|jp|>今は3:30です", numbers=True)
+    assert "三時三十分" in out
 
 
 def test_en_abbrev_requires_word_boundary():
