@@ -173,3 +173,8 @@ def test_tokenizer_step_restarts_dead_codes(cfg):
     assert used[0] <= 2, used
     assert used[-1] >= 4, used
     assert float(jnp.abs(params["tok"]["codebook"]).max()) < 60.0
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -168,3 +168,8 @@ def test_sft_section(bench):
     assert out["loss_finite"]
     assert out["packing_step_reduction"] >= 1.0
     assert "f1_before" in out["mini_ft"] and "f1_after" in out["mini_ft"]
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

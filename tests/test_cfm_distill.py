@@ -141,3 +141,8 @@ def test_engine_respects_use_cfg_config():
     assert on.shape == off.shape == (B, F, CFG.n_mels)
     assert np.isfinite(np.asarray(on)).all() and np.isfinite(np.asarray(off)).all()
     assert float(jnp.abs(on - off).max()) > 1e-4
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

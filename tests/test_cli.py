@@ -302,3 +302,8 @@ def test_cli_llm_bio_extract_with_resume(tmp_path):
         "--tiny", "--data_json", str(dj), "--output_json", str(out),
     ])
     assert (tmp_path / "bios.json_backup.json").exists()
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

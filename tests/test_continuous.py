@@ -186,3 +186,8 @@ def test_continuous_kv_int8_matches_one_shot_kv_int8():
     n = int(ref.lengths[0])
     np.testing.assert_array_equal(got[:n], np.asarray(ref.tokens)[0, :n])
     assert len(got) == n or len(got) == 24
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -365,3 +365,8 @@ def test_cosy_engine_from_wav_tokenize(trees, tmp_path):
     toks = eng.tokenize_wav16(wav)
     assert toks.ndim == 1 and len(toks) > 0
     assert toks.max() < GEO.speech_vocab
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -18,3 +18,8 @@ def test_dryrun_multichip_contract():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)  # raises on any sharding/compile failure
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -192,3 +192,8 @@ def test_engine_mesh_pads_ragged_batch():
     assert len(out) == 3
     for o in out:
         assert o.size > 0 and np.isfinite(o).all()
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

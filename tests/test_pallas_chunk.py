@@ -286,3 +286,8 @@ def test_chunk_megakernel_int4_matches_int8():
     toks4, lg4 = run(mp4)
     np.testing.assert_array_equal(toks4, toks8)
     np.testing.assert_allclose(lg4, lg8, rtol=2e-2, atol=2e-2)
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -249,3 +249,8 @@ def test_generate_speech_megakernel_int4_matches_int8():
     )
     assert int(got.lengths[0]) == int(ref.lengths[0])
     np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

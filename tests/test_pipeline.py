@@ -116,3 +116,8 @@ def test_speaker_registry_persistence(tmp_path, engine):
     )
     out = list(e2.inference_sft("persisted speaker", "reg_a"))
     assert out[0]["tts_speech"].shape[1] > 0
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -328,3 +328,8 @@ def test_sdpa_quant_decode_path_matches_einsum(kv_heads):
     probs = jax.nn.softmax(logits, -1) * vs_h
     ref = jnp.einsum("bhts,bshd->bthd", probs, vr)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -112,3 +112,8 @@ def test_serve_with_dp_mesh(tmp_path, capsys):
         assert by_id[f"r{i}"]["samples"] > 0
     done = [l for l in lines if l.get("done")]
     assert done and done[0]["served"] == 4
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -290,3 +290,8 @@ def test_spec_empty_style_context(setup):
         np.asarray(spec.tokens)[0], np.asarray(ref.tokens)[0]
     )
     assert int(spec.lengths[0]) == int(ref.lengths[0])
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

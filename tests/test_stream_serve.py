@@ -154,3 +154,8 @@ def test_serve_cli_continuous_stream(tmp_path, capsys):
         assert sum(c["samples"] for c in chunk_events) == finals[rid]["samples"]
     done = [l for l in lines if l.get("done")]
     assert done and done[0]["served"] == 2
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

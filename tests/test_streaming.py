@@ -139,3 +139,8 @@ def test_stream_decode_params_same_impl_for_both_runs(engine):
     a, b = engine._stream_decode_params(128, 32, 32)
     assert a is sentinel and b is sentinel
     del engine._fused_decode_params   # restore the class method
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

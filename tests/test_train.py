@@ -303,3 +303,8 @@ def test_packed_batches_shapes():
         assert b.tokens.shape[1] == 64
         # loss mask only on non-pad segments
         assert ((b.loss_mask > 0) <= (b.segment_ids > 0)).all()
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -80,3 +80,8 @@ def test_train_acoustic_cli_gan(manifest, tmp_path):
         "--prompt_seconds", "0.4", "--save_every", "1", "--log_every", "1",
     ])
     assert list(Path(out).glob("checkpoint-*"))
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -15,9 +15,13 @@ import pytest
 FIXTURE = Path(__file__).parent / "fixtures" / "demo_engine.npz"
 SAMPLE = Path(__file__).parent / "fixtures" / "demo_corpus_sample"
 
-pytestmark = pytest.mark.skipif(
-    not FIXTURE.exists(), reason="trained demo fixture not built yet"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not FIXTURE.exists(), reason="trained demo fixture not built yet"
+    ),
+    # test tier (see conftest): excluded from the `-m fast` iteration loop
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")
