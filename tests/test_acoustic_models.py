@@ -321,3 +321,8 @@ def test_generate_speech_early_exit_semantics():
     assert (lens == 3).all()                       # 3 forced + EOS
     assert (toks[:, 3] == cfg.speech_eos).all()
     assert (toks[:, 4:] == cfg.speech_pad).all()   # pad after EOS
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -255,3 +255,8 @@ def test_vocab_version_gate(tmp_path):
     p.write_text(_json.dumps({"version": 3, "merges": []}))
     with pytest.raises(ValueError, match="version"):
         BPETokenizer.load(p)
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

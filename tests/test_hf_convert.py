@@ -114,3 +114,8 @@ def test_embedder_service_with_hf_tokenizer(tmp_path):
     assert e1.shape == (1, 32) and np.isfinite(e1).all()
     labels = svc_hf.emotion_labels(["some text"])
     assert labels[0] in svc_hf.labels or labels[0] == "neutral"
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

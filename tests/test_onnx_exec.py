@@ -482,3 +482,8 @@ def test_unsupported_ops_reports_attr_gated_configs():
     bad = onnx_exec.unsupported_ops(g)
     assert "AveragePool(ceil_mode=1)" in bad
     assert "Pad(axes input)" in bad
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

@@ -187,3 +187,8 @@ def test_phoneme_recognizer_on_random_engine():
     assert isinstance(seq, list)
     per = phoneme_error_rate(rec, wav, "ma pa ta")
     assert np.isfinite(per) and per >= 0.0
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow

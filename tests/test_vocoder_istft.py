@@ -122,3 +122,8 @@ def test_engine_istft_kind_end_to_end():
     out = next(eng.inference_zero_shot("hello there", "prompt text", prm))
     wav = out["tts_speech"][0]
     assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
+
+
+# test tier (see conftest): excluded from the `-m fast` iteration loop
+import pytest as _pytest  # noqa: E402
+pytestmark = _pytest.mark.slow
