@@ -17,6 +17,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Single-core box: suite wall time is XLA-compile-dominated. Persist CPU
+# compiles across runs (keyed by HLO hash, so code changes invalidate
+# exactly the programs they touch) — a repeat full-suite run drops from
+# compile-bound to execute-bound. Opt out with ASTTTS_TEST_NO_CACHE=1.
+if os.environ.get("ASTTTS_TEST_NO_CACHE", "0") != "1":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("ASTTTS_TEST_CACHE_DIR", "/tmp/asttts_cpu_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 
