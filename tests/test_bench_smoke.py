@@ -78,10 +78,12 @@ def test_spec_decode(bench, engine, prompts):
 
 def test_retrieval(bench):
     out = bench.bench_retrieval(np.random.default_rng(0), rtt_s=0.0,
-                                dim=64, n=128, M1=2, M2=6)
+                                dim=64, n=128, M1=2, M2=6,
+                                n_large=512, ML1=2, ML2=6)
     _no_error(out)
     assert out["retrieval_qps_1k_styles_top5"] > 0
     assert out["retrieval_qps_device"] > 0
+    assert out["retrieval_qps_device_0k"] > 0
 
 
 def test_cfm_steps(bench, engine):
