@@ -886,6 +886,17 @@ def _iemocap_samples(split: str, window: int = 5, max_n: int = 0):
     ]
 
 
+def _oom_summary(e: Exception) -> str:
+    """Compress an XLA HBM-OOM into its one informative line (e.g.
+    'Ran out of memory in memory space hbm. Used 42.14G of 15.75G hbm.');
+    non-OOM exceptions fall back to type+message, truncated."""
+    import re
+
+    msg = str(e)
+    m = re.search(r"Ran out of memory[^.]*\.(?: Used .*? hbm\.)?", msg)
+    return (m.group(0) if m else f"{type(e).__name__}: {msg}")[:220]
+
+
 def bench_sft(rtt_s: float, cfg=None, seq_len: int = 1024,
               batch_size: int = 4, train_n: int = 0, ft_cfg=None,
               ft_steps: int = 240, ft_train_n: int = 768,
@@ -951,29 +962,84 @@ def bench_sft(rtt_s: float, cfg=None, seq_len: int = 1024,
     )
     out["weights_hbm_gb"] = round(tree_bytes(params) / 2**30, 2)
 
-    for remat in (True, False):
+    def time_leg(leg_cfg, remat, leg_params, leg_lora, leg_batches):
         t2 = dataclasses.replace(tcfg, remat=remat)
-        step_fn = lora_sft.make_train_step(cfg, t2, optimizer, packed=True)
-        opt_state = optimizer.init(lora)
-        lo = jax.tree_util.tree_map(jnp.copy, lora)
+        step_fn = lora_sft.make_train_step(leg_cfg, t2, optimizer, packed=True)
+        opt_state = optimizer.init(leg_lora)
+        lo = jax.tree_util.tree_map(jnp.copy, leg_lora)
         times = []
-        for i, b in enumerate(batches[:4]):
+        loss = None
+        for i, b in enumerate(leg_batches[:4]):
             t0 = time.perf_counter()
             lo, opt_state, loss = step_fn(
-                lo, opt_state, params,
+                lo, opt_state, leg_params,
                 jnp.asarray(b.tokens), jnp.asarray(b.loss_mask),
                 jnp.asarray(b.segment_ids), jax.random.PRNGKey(i),
             )
             np.asarray(loss)     # sync through the tunnel
             times.append(time.perf_counter() - t0)
-        key = "remat" if remat else "noremat"
         step_s = float(np.median(times[1:])) if len(times) > 1 else times[0]
+        return step_s, loss, opt_state
+
+    oom = False
+    for remat in (True, False):
+        key = "remat" if remat else "noremat"
+        try:
+            step_s, loss, opt_state = time_leg(cfg, remat, params, lora,
+                                               batches)
+        except Exception as e:
+            # remat=False at the 3B reference geometry (bs4 x seq1024) does
+            # NOT fit one 16 GB v5e: XLA's compile-time figure (measured:
+            # "Used 42.14G of 15.75G hbm" — all 28 scanned layers' attention
+            # scores + dequantized weight temps held live for backward) IS
+            # the remat result. Record it; the on/off speed cost is
+            # quantified at a reduced depth that fits, below.
+            out[f"{key}_oom"] = _oom_summary(e)
+            oom = True
+            continue
         out[f"step_ms_{key}"] = round(step_s * 1e3, 1)
         out[f"tokens_per_s_{key}"] = round(batch_size * seq_len / step_s, 0)
         if remat:
             out["loss_finite"] = bool(np.isfinite(float(loss)))
             state_gb = (tree_bytes(lora) + tree_bytes(opt_state)) / 2**30
             out["lora_plus_opt_hbm_gb"] = round(state_gb, 2)
+
+    if oom:
+        # apples-to-apples remat pair: same width/heads/quantized base/LoRA/
+        # packed batches, only n_layers cut until the noremat leg fits
+        # (measured: depth 7 of 28 still OOMs — the all-layer f32 score +
+        # dequantized-weight temps shrink only linearly with depth)
+        tried = []
+        pair = {}
+        for fb_layers in dict.fromkeys(
+            max(2, cfg.n_layers // d) for d in (8, 14, 28)
+        ):
+            fb_cfg = dataclasses.replace(cfg, n_layers=fb_layers)
+            try:
+                fb_params = jax.block_until_ready(jax.jit(
+                    lambda k: quantize_tree(core.init_params(k, fb_cfg))
+                )(jax.random.PRNGKey(0)))
+                fb_lora = core.init_lora(jax.random.PRNGKey(1), fb_cfg,
+                                         tcfg.lora.r)
+                # noremat first: it is the leg that may not fit
+                s_off, _, _ = time_leg(fb_cfg, False, fb_params, fb_lora,
+                                       batches)
+                s_on, _, _ = time_leg(fb_cfg, True, fb_params, fb_lora,
+                                      batches)
+                pair = {
+                    "n_layers": fb_layers,
+                    "step_ms_remat": round(s_on * 1e3, 1),
+                    "step_ms_noremat": round(s_off * 1e3, 1),
+                    "remat_overhead_pct": round((s_on / s_off - 1) * 100, 1),
+                }
+                del fb_params, fb_lora
+                break
+            except Exception as e:      # pragma: no cover - device-geometry
+                tried.append({"n_layers": fb_layers, "oom": _oom_summary(e)})
+                pair = {"error": "no depth fit", "tried": tried}
+        if tried and "n_layers" in pair:
+            pair["oom_depths"] = [t["n_layers"] for t in tried]
+        out["remat_pair_reduced_depth"] = pair
     del params, lora
 
     # ---- part 2: REAL mini fine-tune, weighted-F1 before/after ----------

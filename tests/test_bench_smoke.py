@@ -172,6 +172,18 @@ def test_sft_section(bench):
     assert "f1_before" in out["mini_ft"] and "f1_after" in out["mini_ft"]
 
 
+def test_oom_summary_extracts_hbm_line(bench):
+    msg = ("INTERNAL: http://127.0.0.1:8103/remote_compile: HTTP 500: ...\n"
+           "compile: Internal: AOT PJRT error: XLA:TPU compile permanent "
+           "error. Ran out of memory in memory space hbm. Used 42.14G of "
+           "15.75G hbm. Exceeded hbm capacity by 26.40G.\n" + "x" * 4000)
+    s = bench._oom_summary(RuntimeError(msg))
+    assert s.startswith("Ran out of memory in memory space hbm. Used 42.14G")
+    assert len(s) <= 220
+    s2 = bench._oom_summary(ValueError("plain failure"))
+    assert s2.startswith("ValueError: plain failure")
+
+
 # test tier (see conftest): excluded from the `-m fast` iteration loop
 import pytest as _pytest  # noqa: E402
 pytestmark = _pytest.mark.slow
