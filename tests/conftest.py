@@ -21,10 +21,36 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # compiles across runs (keyed by HLO hash, so code changes invalidate
 # exactly the programs they touch) — a repeat full-suite run drops from
 # compile-bound to execute-bound. Opt out with ASTTTS_TEST_NO_CACHE=1.
+#
+# The cache dir is suffixed with a host-CPU-feature fingerprint: XLA:CPU AOT
+# artifacts bake in the compile machine's vector ISA, and this jax version
+# happily LOADS an artifact built on a different host (it warns about
+# feature mismatch, then can SIGSEGV/SIGILL mid-suite — observed when a
+# cache built on an avx512 box was reused elsewhere). A per-host dir makes
+# stale foreign artifacts unreachable instead of fatal.
+
+
+def _host_cpu_tag() -> str:
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return platform.machine() or "unknown"
+
+
 if os.environ.get("ASTTTS_TEST_NO_CACHE", "0") != "1":
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("ASTTTS_TEST_CACHE_DIR", "/tmp/asttts_cpu_jax_cache"),
+        os.environ.get(
+            "ASTTTS_TEST_CACHE_DIR",
+            f"/tmp/asttts_cpu_jax_cache_{_host_cpu_tag()}",
+        ),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
