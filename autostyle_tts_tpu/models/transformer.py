@@ -77,6 +77,67 @@ def init_params(key: jax.Array, cfg: TransformerConfig) -> Params:
     return p
 
 
+def init_params_quantized(
+    key: jax.Array, cfg: TransformerConfig, bits: int = 8
+) -> Params:
+    """Init + weight-only-quantize without ever holding the f32 tree.
+
+    `quantize_tree(init_params(key))` under ONE jit leaves the peak HBM to
+    XLA's scheduling: at 3B geometry the f32 projection stacks alone are
+    ~17 GB, so whether the program fits a 16 GB chip depends on whether the
+    scheduler frees each stack before materializing the next (observed to
+    fail intermittently: compile-time HBM OOM or runtime RESOURCE_EXHAUSTED
+    on the same program across runs). This builder bounds the transient
+    instead: each projection stack is drawn and quantized layer-at-a-time
+    under `lax.map`, so the live f32 temp is one layer (<0.3 GB even at 7B);
+    the embedding/lm_head (kept f32 / quantized respectively, exactly like
+    quantize_tree's name rules) get their own small programs.
+
+    Returns the same pytree structure/shapes/dtypes as
+    `quantize_tree(init_params(key, cfg), bits=bits)` — values differ only
+    in how the RNG is split per layer."""
+    from ..ops.quant import Q4Tensor, QTensor, quantize, quantize4
+
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    qfn = quantize if bits == 8 else quantize4
+    qcls = QTensor if bits == 8 else Q4Tensor
+    keys = jax.random.split(key, 12)
+    L, D, F = cfg.n_layers, cfg.dim, cfg.ffn_dim
+    H, K, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    def stack(k, fan_in: int, out_dim: int):
+        def build(kk):
+            def one(ki):
+                return tuple(qfn(_dense_init(ki, fan_in, (fan_in, out_dim))))
+
+            return jax.lax.map(one, jax.random.split(kk, L))
+
+        return qcls(*jax.block_until_ready(jax.jit(build)(k)))
+
+    p: Params = {
+        "tok_emb": jax.block_until_ready(
+            jax.jit(lambda k: _dense_init(k, D, (cfg.vocab_size, D)))(keys[0])
+        ),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), jnp.float32),
+            "wqkv": stack(keys[1], D, (H + 2 * K) * hd),
+            "wo": stack(keys[4], H * hd, D),
+            "mlp_norm": jnp.ones((L, D), jnp.float32),
+            "w_gate_up": stack(keys[5], D, 2 * F),
+            "w_down": stack(keys[7], F, D),
+        },
+        "final_norm": jnp.ones((D,), jnp.float32),
+    }
+    if not cfg.tie_embeddings:
+        p["lm_head"] = qcls(*jax.block_until_ready(
+            jax.jit(lambda k: tuple(qfn(_dense_init(k, D, (D, cfg.vocab_size)))))(
+                keys[8]
+            )
+        ))
+    return p
+
+
 def init_lora(key: jax.Array, cfg: TransformerConfig, r: int) -> Params:
     """Stacked LoRA (A, B) for every projection ('all-linear' per the
     reference protocol, src/ft_llm.py:254-261). B starts at zero so the

@@ -202,3 +202,33 @@ def test_param_count_3b_geometry():
     per_layer = D * H * hd + 2 * D * K * hd + H * hd * D + 3 * D * F
     total = V * D + L * per_layer + D * V + D
     assert 2.5e9 < total < 4.0e9
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_init_params_quantized_matches_quantize_tree_structure(bits):
+    """init_params_quantized is the memory-bounded build used by bench.py's
+    3B sections (whole-tree init+quantize held ~17 GB of f32 stacks at peak
+    and OOM'd the v5e intermittently). Same pytree structure/shapes/dtypes
+    as quantize_tree(init_params(.)), and the result must drive the full
+    decode path."""
+    from autostyle_tts_tpu.ops.quant import quantize_tree
+
+    cfg = _cfg(tie_embeddings=False)
+    ref = quantize_tree(tfm.init_params(jax.random.PRNGKey(0), cfg), bits=bits)
+    got = tfm.init_params_quantized(jax.random.PRNGKey(0), cfg, bits=bits)
+
+    ref_leaves = jax.tree_util.tree_structure(ref)
+    got_leaves = jax.tree_util.tree_structure(got)
+    assert ref_leaves == got_leaves
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    prompt = jnp.asarray([[5, 7, 11, 13]], jnp.int32)
+    cache = tfm.make_cache(cfg, 1, 16)
+    out = tfm.generate(
+        got, cfg, prompt, jnp.asarray([4], jnp.int32), cache,
+        jax.random.PRNGKey(1), max_new_tokens=4,
+        sampler=SamplerConfig.label(), eos_id=-1,
+    )
+    assert int(out.lengths[0]) >= 1
