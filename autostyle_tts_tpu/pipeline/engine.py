@@ -275,6 +275,27 @@ class Engine:
 
         self._vocode = vocode
 
+        @partial(jax.jit, static_argnames=("gen_w", "dtype"))
+        def vocode_crop(mel, p_lens, tok_lens, *, gen_w, dtype):
+            """Vocoder + per-row crop-shift in one program: each row's
+            GENERATED region (start = prompt frames, width = the static
+            gen bucket) is slid to offset 0 on device so the host fetch
+            carries no prompt samples. With the f16 default the staged
+            batch fetch drops ~4x vs the full-length f32 wav — which
+            dominated batch-8 wall time through the tunneled device."""
+            wav = vocoder.apply(self.params.vocoder, cfg.vocoder, mel)
+            up, hop = cfg.cfm.upsample, a.hop_length
+            starts = p_lens * (up * hop)
+
+            def row(w, s):
+                return jax.lax.dynamic_slice(w, (s,), (gen_w,))
+
+            wav_gen = jax.vmap(row)(wav, starts)
+            n_out = (tok_lens - p_lens) * (up * hop)
+            return wav_gen.astype(dtype), n_out
+
+        self._vocode_crop = vocode_crop
+
         @partial(jax.jit, static_argnames=("max_new", "kv_int8", "fused"))
         def synth_one(
             lm_p, cfm_p, voc_p,
@@ -705,20 +726,19 @@ class Engine:
             )
             self.watch.sync(mel)
         with self.watch.span("vocoder"):
-            wav = self._vocode(mel)
-            self.watch.sync(wav)
-        # SINGLE host sync for the whole batch: fetch wavs + crop bounds
+            wav_gen, n_out = self._vocode_crop(
+                mel, self._dev(p_lens), tok_lens,
+                gen_w=max_new * cfg.cfm.upsample * self.cfg.audio.hop_length,
+                dtype=getattr(cfg, "fetch_dtype", "float16"),
+            )
+            self.watch.sync(wav_gen)
+        # SINGLE host sync for the whole batch: fetch the device-cropped
+        # generated regions (no prompt samples, f16 by default) + lengths
         with self.watch.span("fetch"):
-            wav, tok_lens = jax.device_get((wav, tok_lens))
-
-        # --- crop per row: drop prompt frames, keep generated region
-        hop = self.cfg.audio.hop_length
-        out = []
-        for i in range(B):
-            s = int(p_lens[i]) * cfg.cfm.upsample * hop
-            e = int(tok_lens[i]) * cfg.cfm.upsample * hop
-            out.append(wav[i, s:e].astype(np.float32))
-        return out
+            wav_gen, n_out = jax.device_get((wav_gen, n_out))
+        return [
+            wav_gen[i, : int(n_out[i])].astype(np.float32) for i in range(B)
+        ]
 
     def _flow_full_dev(self, flow_feat: PromptFeatures):
         """Device-side FULL flow-prompt arrays for B=1 fused synthesis,

@@ -311,6 +311,13 @@ class Config:
     # acceptance > verify_cost/step_cost (bench.py lm_spec reports both).
     # Default off — the megakernel serves B=1.
     speculative_gamma: int = 0
+    # dtype for the device->host wav fetch on the staged (B>1 / mesh /
+    # profile) synthesis path. Audio lives in [-1, 1] where the f16
+    # mantissa (~1e-3 step) is below 16-bit-PCM quantization, and halving
+    # the payload matters through a tunneled device (the full-batch f32
+    # fetch dominated batch-8 wall time). The fused B=1 program always
+    # fetches f16. Set "float32" for bit-tight cross-mesh parity checks.
+    fetch_dtype: str = "float16"
 
 
 def demo_config() -> Config:

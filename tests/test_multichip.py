@@ -126,6 +126,11 @@ def test_engine_mesh_dp_parity():
         for f in (180, 220, 260, 320)
     ]
 
+    # bit-tight parity gate: pin the f32 fetch (the f16 serving default
+    # rounds each side independently; a 1-ulp split at a bin boundary is
+    # ~1e-3, above this test's atol — and placement, not payload dtype,
+    # is what this test checks)
+    cfg.fetch_dtype = "float32"
     ref = Engine(cfg, seed=3).synthesize_batch(texts, styles, sty_wavs, tim_wavs)
     eng = Engine(cfg, seed=3, mesh=mesh)
     assert eng.dp == 4
@@ -163,6 +168,7 @@ def test_engine_mesh_dp_tp_parity():
         for f in (190, 280)
     ]
 
+    cfg.fetch_dtype = "float32"   # see test_engine_mesh_dp_parity
     ref = Engine(cfg, seed=5).synthesize_batch(texts, styles, sty_wavs, tim_wavs)
     eng = Engine(cfg, seed=5, mesh=mesh)
     assert eng.dp == 2
