@@ -220,15 +220,19 @@ def _number_token_en(s: str) -> str:
 
 _ZH_DIGITS = "零一二三四五六七八九"
 _ZH_UNITS = ["", "十", "百", "千"]
-_ZH_GROUPS = ["", "万", "亿"]
+_ZH_GROUPS = ["", "万", "亿", "万亿"]
 
 
 def num_to_words_zh(n: int) -> str:
-    """Standard Chinese cardinal reading, 0 <= n < 1e12."""
+    """Standard Chinese cardinal reading, 0 <= n < 1e16 (beyond the group
+    table the number is read digit-wise, like phone numbers — never raise
+    from inside a synthesis request)."""
     if n < 0:
         return "负" + num_to_words_zh(-n)
     if n == 0:
         return "零"
+    if n >= 10 ** (4 * len(_ZH_GROUPS)):
+        return digits_to_words_zh(str(n))
     groups: List[int] = []
     while n:
         groups.append(n % 10000)
@@ -327,15 +331,19 @@ def normalize_zh(text: str) -> str:
 
 _JA_DIGITS = "〇一二三四五六七八九"
 _JA_UNITS = ["", "十", "百", "千"]
-_JA_GROUPS = ["", "万", "億"]
+_JA_GROUPS = ["", "万", "億", "兆"]
 
 
 def num_to_words_ja(n: int) -> str:
-    """Standard Japanese kanji cardinal, 0 <= n < 1e12."""
+    """Standard Japanese kanji cardinal, 0 <= n < 1e16 (beyond the group
+    table the number is read digit-wise — never raise from inside a
+    synthesis request)."""
     if n < 0:
         return "マイナス" + num_to_words_ja(-n)
     if n == 0:
         return "ゼロ"
+    if n >= 10 ** (4 * len(_JA_GROUPS)):
+        return digits_to_words_ja(str(n))
     groups: List[int] = []
     while n:
         groups.append(n % 10000)
@@ -350,9 +358,10 @@ def num_to_words_ja(n: int) -> str:
             d = (g // 10 ** pos) % 10
             if d == 0:
                 continue
-            # drop the 一 before 十/百/千 (JA idiom); groups of 万/億 keep
-            # it (一万, 一億)
-            if d == 1 and pos >= 1:
+            # drop the 一 before 十/百 (JA idiom: 十万, 百万), and before 千
+            # only in the ones group (1000 = 千); higher groups keep it
+            # (一千万, 一千億). 万/億/兆 themselves keep it too (一万, 一億).
+            if d == 1 and (pos in (1, 2) or (pos == 3 and gi == 0)):
                 s += _JA_UNITS[pos]
             else:
                 s += _JA_DIGITS[d] + _JA_UNITS[pos]

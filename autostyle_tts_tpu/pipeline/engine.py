@@ -269,12 +269,6 @@ class Engine:
 
         self._mel_cond = partial(mel_cond, self.params.cfm)
 
-        @jax.jit
-        def vocode(mel: jnp.ndarray) -> jnp.ndarray:
-            return vocoder.apply(self.params.vocoder, cfg.vocoder, mel)
-
-        self._vocode = vocode
-
         @partial(jax.jit, static_argnames=("gen_w", "dtype"))
         def vocode_crop(mel, p_lens, tok_lens, *, gen_w, dtype):
             """Vocoder + per-row crop-shift in one program: each row's
@@ -311,9 +305,11 @@ class Engine:
             dispatched stages; the streaming path already chained programs
             on device — this applies the same design to the synchronous
             path). The fetched payload is only the GENERATED region
-            (dynamic-slice shifts it to offset 0) in f16 — audio is [-1, 1]
-            so the 10-bit mantissa is transparent and the tunnel transfer
-            halves."""
+            (dynamic-slice shifts it to offset 0) in cfg.fetch_dtype —
+            f16 by default (audio is [-1, 1] so the 10-bit mantissa is
+            transparent and the tunnel transfer halves); fetch_dtype=
+            "float32" keeps the fused path bit-comparable to the staged
+            one for parity checks."""
             gen = token_lm.generate_speech_from_ids(
                 lm_p, cfg.token_lm, text_ids, text_lens, sty, sty_lens, spk,
                 key_lm, max_new_tokens=max_new, kv_int8=kv_int8, fused=fused,
@@ -331,7 +327,8 @@ class Engine:
                 wav, (jnp.int32(0), start), (1, max_new * up * hop)
             )
             n_out = gen.lengths[0] * up * hop
-            return wav_gen.astype(jnp.float16), n_out
+            fetch_dt = getattr(cfg, "fetch_dtype", "float16")
+            return wav_gen.astype(jnp.dtype(fetch_dt)), n_out
 
         self._synth_one = partial(
             synth_one, self.params.token_lm, self.params.cfm,

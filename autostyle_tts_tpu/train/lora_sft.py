@@ -84,9 +84,25 @@ class Batch:
     length: np.ndarray      # [B]
 
 
+def render_samples(
+    samples: List[dict], max_seq_len: int
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Tokenize every chat sample once (tail-truncated to max_seq_len).
+    Rendering dominates batch-building cost; train() hoists it out of the
+    per-epoch loop and passes the result to the builders below."""
+    out = []
+    for s in samples:
+        ids, lm = render_chat(s["messages"])
+        if len(ids) > max_seq_len:
+            ids, lm = ids[-max_seq_len:], lm[-max_seq_len:]
+        out.append((ids, lm))
+    return out
+
+
 def make_packed_batches(
     samples: List[dict], max_seq_len: int, batch_size: int,
     seed: int = 0, shuffle: bool = True, pad_to_batch: bool = False,
+    rendered: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None,
 ) -> Iterator["PackedBatch"]:
     """Sequence packing (TRL SFTTrainer packing=True parity, ft_llm.py:295):
     greedily packs whole chat samples into rows up to max_seq_len; a segment
@@ -99,17 +115,13 @@ def make_packed_batches(
     static shapes, one compile on the train path."""
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(samples)) if shuffle else np.arange(len(samples))
-    rendered = []
-    for i in order:
-        ids, lm = render_chat(samples[i]["messages"])
-        if len(ids) > max_seq_len:
-            ids, lm = ids[-max_seq_len:], lm[-max_seq_len:]
-        rendered.append((ids, lm))
+    if rendered is None:
+        rendered = render_samples(samples, max_seq_len)
 
     rows: List[List[Tuple[np.ndarray, np.ndarray]]] = []
     cur: List[Tuple[np.ndarray, np.ndarray]] = []
     cur_len = 0
-    for ids, lm in rendered:
+    for ids, lm in (rendered[i] for i in order):
         if cur and cur_len + len(ids) > max_seq_len:
             rows.append(cur)
             cur, cur_len = [], 0
@@ -195,10 +207,13 @@ def packed_sft_loss(
 def make_batches(
     samples: List[dict], max_seq_len: int, batch_size: int,
     seed: int = 0, shuffle: bool = True, drop_last: bool = False,
+    rendered: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None,
 ) -> Iterator[Batch]:
     """Right-padded fixed-width batches (static shapes; one compile)."""
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(samples)) if shuffle else np.arange(len(samples))
+    if rendered is None:
+        rendered = render_samples(samples, max_seq_len)
     for s in range(0, len(order), batch_size):
         idx = order[s : s + batch_size]
         if drop_last and len(idx) < batch_size:
@@ -207,10 +222,8 @@ def make_batches(
         mask = np.zeros((len(idx), max_seq_len), np.int32)
         lens = np.zeros((len(idx),), np.int32)
         for j, i in enumerate(idx):
-            ids, lm = render_chat(samples[i]["messages"])
-            # keep the tail (assistant span lives at the end)
-            if len(ids) > max_seq_len:
-                ids, lm = ids[-max_seq_len:], lm[-max_seq_len:]
+            # tail-truncated render (assistant span lives at the end)
+            ids, lm = rendered[i]
             toks[j, : len(ids)] = ids
             mask[j, : len(ids)] = lm
             lens[j] = len(ids)
@@ -389,22 +402,28 @@ def train(
     key = jax.random.PRNGKey(tcfg.seed)
     lora = core.init_lora(key, cfg, tcfg.lora.r)
 
-    def epoch_batches(epoch: int) -> List:
+    # tokenize once; epochs only reshuffle the rendered samples (rendering
+    # dominated batch-building and used to rerun every epoch AND once more
+    # for the count below)
+    rendered = render_samples(train_samples, tcfg.max_seq_len)
+
+    def epoch_batches(epoch: int) -> Iterator:
         if tcfg.packing:
             # packed rows (TRL packing=True, ft_llm.py:302): static
             # [batch_size, max_seq_len] shapes via trailing pad rows
-            return list(make_packed_batches(
+            return make_packed_batches(
                 train_samples, tcfg.max_seq_len, tcfg.batch_size,
-                seed=tcfg.seed + epoch, pad_to_batch=True,
-            ))
-        return list(make_batches(
+                seed=tcfg.seed + epoch, pad_to_batch=True, rendered=rendered,
+            )
+        return make_batches(
             train_samples, tcfg.max_seq_len, tcfg.batch_size,
-            seed=tcfg.seed + epoch, drop_last=True,
-        ))
+            seed=tcfg.seed + epoch, drop_last=True, rendered=rendered,
+        )
 
     # packing compresses the epoch: count the real micro-batches (the LR
-    # schedule and resume contract run on APPLIED steps, like the reference)
-    micro_per_epoch = len(epoch_batches(0))
+    # schedule and resume contract run on APPLIED steps, like the reference);
+    # batches stream lazily — an epoch is never held in host RAM
+    micro_per_epoch = sum(1 for _ in epoch_batches(0))
     steps_per_epoch = max(1, micro_per_epoch // tcfg.grad_accum)
     total_steps = steps_per_epoch * tcfg.epochs
     # TRUE gradient accumulation: MultiSteps averages grads over grad_accum

@@ -96,6 +96,27 @@ def test_fused_b1_matches_staged():
     assert "lm_generate" in e_staged.watch.spans
 
 
+def test_fused_b1_honors_fetch_dtype_f32():
+    """fetch_dtype='float32' (the documented bit-tight parity knob) must
+    reach the fused synth_one fetch too, not only the staged _vocode_crop
+    (review finding: the fused program hard-coded f16, so the knob was
+    silently ignored for every B=1 request)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config(), fetch_dtype="float32")
+    e_fused = Engine(cfg, seed=7)
+    e_staged = Engine(cfg, seed=7, profile=True)
+    sty, tim = _wav(seed=1, f=200), _wav(seed=2, f=300)
+    wf = list(e_fused.inference_tts_with_st("f32 parity", "style", sty, tim))
+    ws = list(e_staged.inference_tts_with_st("f32 parity", "style", sty, tim))
+    a, b = wf[0]["tts_speech"], ws[0]["tts_speech"]
+    assert "synth_one" in e_fused.watch.spans
+    assert a.shape == b.shape
+    # f32 end-to-end: only cross-program fusion noise remains, far below
+    # the f16 quantum (~5e-4) the default path allows
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_deterministic_given_same_engine_seed():
     e1 = Engine(tiny_config(), seed=42)
     e2 = Engine(tiny_config(), seed=42)

@@ -71,6 +71,12 @@ def test_normalize_en_golden(src, dst):
     (105, "一百零五"), (123, "一百二十三"), (1000, "一千"),
     (1001, "一千零一"), (10000, "一万"), (10500, "一万零五百"),
     (123456789, "一亿二千三百四十五万六千七百八十九"),
+    # 4th group (10^12) and the digit-wise overflow guard: comma-grouped
+    # trillions bypass the 7-digit digit-wise regex, so num_to_words_zh
+    # must handle them rather than raise (review finding: _ZH_GROUPS
+    # stopped at 亿, so 10^12 crashed with IndexError mid-request)
+    (10 ** 12, "一万亿"),
+    (10 ** 16, "一" + "零" * 16),
 ])
 def test_num_to_words_zh(n, w):
     assert num_to_words_zh(n) == w
@@ -99,9 +105,23 @@ def test_normalize_zh_golden(src, dst):
     (1001, "千一"), (10000, "一万"), (10005, "一万五"),
     (10500, "一万五百"), (2024, "二千二十四"),
     (100000000, "一億"), (123456789, "一億二千三百四十五万六千七百八十九"),
+    # the 一 before 千 is kept inside 万/億/兆 groups (一千万, not 千万) —
+    # only the ones group drops it (1000 = 千)
+    (10 ** 7, "一千万"), (10 ** 11, "一千億"),
+    # 4th group (兆) and the digit-wise overflow guard (review finding:
+    # _JA_GROUPS stopped at 億, so '1,000,000,000,000円' crashed with
+    # IndexError mid-request)
+    (10 ** 12, "一兆"), (10 ** 16, "一" + "〇" * 16),
 ])
 def test_num_to_words_ja(n, w):
     assert num_to_words_ja(n) == w
+
+
+@pytest.mark.parametrize("src,dst", [
+    ("1,000,000,000,000円", "一兆円"),
+])
+def test_normalize_ja_large_currency(src, dst):
+    assert normalize_ja(src) == dst
 
 
 @pytest.mark.parametrize("src,dst", [
