@@ -51,6 +51,31 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[min(i, len(buckets) - 1)]
 
 
+def _pack_len(wav_gen: jnp.ndarray, n_out: jnp.ndarray, dt) -> jnp.ndarray:
+    """Append the per-row generated-sample count to the wav buffer so a
+    request fetch is ONE device->host transfer (each fetched buffer pays a
+    tunnel round trip; fetching (wav, lengths) as two buffers serialized a
+    second RTT onto every request). Lengths ride as exact-integer floats —
+    f32 holds ints < 2^24 in one slot; f16 splits into two 11-bit halves
+    (ints <= 2048 are exact in f16), covering n < 2^22 samples (~175 s at
+    24 kHz, far above the 20 s request ceiling)."""
+    dt = jnp.dtype(dt)
+    n = jnp.asarray(n_out, jnp.int32).reshape(-1)
+    if dt.itemsize >= 4:
+        tail = n.astype(dt)[:, None]
+    else:
+        tail = jnp.stack([n >> 11, n & 0x7FF], axis=1).astype(dt)
+    return jnp.concatenate([wav_gen.astype(dt), tail], axis=1)
+
+
+def _unpack_len(buf: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side inverse of _pack_len: -> (wav [B, W], n_out [B] int32)."""
+    if buf.dtype.itemsize >= 4:
+        return buf[:, :-1], buf[:, -1].astype(np.int32)
+    n = (buf[:, -2].astype(np.int32) << 11) | buf[:, -1].astype(np.int32)
+    return buf[:, :-2], n
+
+
 @dataclass
 class EngineParams:
     token_lm: Dict
@@ -286,7 +311,7 @@ class Engine:
 
             wav_gen = jax.vmap(row)(wav, starts)
             n_out = (tok_lens - p_lens) * (up * hop)
-            return wav_gen.astype(dtype), n_out
+            return _pack_len(wav_gen, n_out, dtype)
 
         self._vocode_crop = vocode_crop
 
@@ -328,7 +353,7 @@ class Engine:
             )
             n_out = gen.lengths[0] * up * hop
             fetch_dt = getattr(cfg, "fetch_dtype", "float16")
-            return wav_gen.astype(jnp.dtype(fetch_dt)), n_out
+            return _pack_len(wav_gen, n_out, fetch_dt)
 
         self._synth_one = partial(
             synth_one, self.params.token_lm, self.params.cfm,
@@ -723,16 +748,17 @@ class Engine:
             )
             self.watch.sync(mel)
         with self.watch.span("vocoder"):
-            wav_gen, n_out = self._vocode_crop(
+            packed = self._vocode_crop(
                 mel, self._dev(p_lens), tok_lens,
                 gen_w=max_new * cfg.cfm.upsample * self.cfg.audio.hop_length,
                 dtype=getattr(cfg, "fetch_dtype", "float16"),
             )
-            self.watch.sync(wav_gen)
-        # SINGLE host sync for the whole batch: fetch the device-cropped
-        # generated regions (no prompt samples, f16 by default) + lengths
+            self.watch.sync(packed)
+        # SINGLE host sync for the whole batch: ONE buffer carrying the
+        # device-cropped generated regions (no prompt samples, f16 by
+        # default) with the per-row lengths packed into the tail slots
         with self.watch.span("fetch"):
-            wav_gen, n_out = jax.device_get((wav_gen, n_out))
+            wav_gen, n_out = _unpack_len(jax.device_get(packed))
         return [
             wav_gen[i, : int(n_out[i])].astype(np.float32) for i in range(B)
         ]
@@ -815,13 +841,13 @@ class Engine:
         p_pad = -(-p_raw // 128) * 128
         dp = self._fused_decode_params((1, p_pad, tl.dim), max_new)
         with self.watch.span("synth_one"):
-            wav16, n_out = jax.device_get(self._synth_one(
+            wav16, n_out = _unpack_len(jax.device_get(self._synth_one(
                 jnp.asarray(text_ids), jnp.asarray(text_lens, jnp.int32),
                 d_sty, d_sl, d_ptok, d_plen, d_pmel, d_mlen, d_spk,
                 key_lm, key_cfm, dp,
                 max_new=max_new, kv_int8=kv8, fused=dp is not None,
-            ))
-        return [wav16[0, : int(n_out)].astype(np.float32)]
+            )))
+        return [wav16[0, : int(n_out[0])].astype(np.float32)]
 
     # ------------------------------------------------------------------ streaming
 
