@@ -193,3 +193,23 @@ def test_checkpoint_manager_orbax_backend(tmp_path):
     mgr2 = CheckpointManager(tmp_path)
     got2 = mgr2.restore(like)
     np.testing.assert_array_equal(np.asarray(got2["a"]), tree["a"])
+
+
+def test_pack_unpack_len_roundtrip_exact():
+    """The single-fetch length packing (pipeline/engine._pack_len) must carry
+    per-row sample counts EXACTLY through the fetch dtype — f32 stores the
+    int in one slot (exact < 2^24), f16 splits into two 11-bit halves (each
+    half <= 2047, exact in f16) covering n < 2^22."""
+    import jax.numpy as jnp
+    from autostyle_tts_tpu.pipeline.engine import _pack_len, _unpack_len
+
+    # edge counts: zero, f16-half boundaries, and a large value near 2^22
+    ns = np.array([0, 1, 2047, 2048, 2049, 4095, 4096, (1 << 22) - 1], np.int32)
+    wav = np.linspace(-1, 1, ns.size * 8, dtype=np.float32).reshape(ns.size, 8)
+    for dt in ("float16", "float32"):
+        packed = np.asarray(_pack_len(jnp.asarray(wav), jnp.asarray(ns), dt))
+        got_wav, got_n = _unpack_len(packed)
+        assert packed.dtype == np.dtype(dt)
+        np.testing.assert_array_equal(got_n, ns)
+        assert got_wav.shape == wav.shape
+        np.testing.assert_allclose(got_wav, wav, atol=1e-3 if dt == "float16" else 0)
