@@ -52,28 +52,38 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 def _pack_len(wav_gen: jnp.ndarray, n_out: jnp.ndarray, dt) -> jnp.ndarray:
-    """Append the per-row generated-sample count to the wav buffer so a
-    request fetch is ONE device->host transfer (each fetched buffer pays a
-    tunnel round trip; fetching (wav, lengths) as two buffers serialized a
-    second RTT onto every request). Lengths ride as exact-integer floats —
-    f32 holds ints < 2^24 in one slot; f16 splits into two 11-bit halves
-    (ints <= 2048 are exact in f16), covering n < 2^22 samples (~175 s at
-    24 kHz, far above the 20 s request ceiling)."""
+    """Append per-row int metadata to the wav buffer so a request fetch is
+    ONE device->host transfer (each fetched buffer pays a tunnel round trip;
+    fetching (wav, lengths) as two buffers serialized a second RTT onto
+    every request). n_out is [B] (one count per row) or [B, K] (K values per
+    row). Values ride as exact-integer floats — f32 holds ints < 2^24 in one
+    slot each; f16 splits each into two 11-bit halves (ints <= 2048 are
+    exact in f16), covering values < 2^22 (~175 s of samples at 24 kHz, far
+    above the 20 s request ceiling)."""
     dt = jnp.dtype(dt)
-    n = jnp.asarray(n_out, jnp.int32).reshape(-1)
+    n = jnp.asarray(n_out, jnp.int32)
+    n = n.reshape(-1, 1) if n.ndim <= 1 else n
     if dt.itemsize >= 4:
-        tail = n.astype(dt)[:, None]
+        tail = n.astype(dt)
     else:
-        tail = jnp.stack([n >> 11, n & 0x7FF], axis=1).astype(dt)
+        tail = jnp.stack([n >> 11, n & 0x7FF], axis=2).reshape(
+            n.shape[0], -1
+        ).astype(dt)
     return jnp.concatenate([wav_gen.astype(dt), tail], axis=1)
 
 
-def _unpack_len(buf: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side inverse of _pack_len: -> (wav [B, W], n_out [B] int32)."""
+def _unpack_vals(buf: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side inverse of _pack_len: -> (wav [B, W], vals [B, k] int32)."""
     if buf.dtype.itemsize >= 4:
-        return buf[:, :-1], buf[:, -1].astype(np.int32)
-    n = (buf[:, -2].astype(np.int32) << 11) | buf[:, -1].astype(np.int32)
-    return buf[:, :-2], n
+        return buf[:, :-k], buf[:, -k:].astype(np.int32)
+    t = buf[:, -2 * k:].astype(np.int32).reshape(buf.shape[0], k, 2)
+    return buf[:, : -2 * k], (t[:, :, 0] << 11) | t[:, :, 1]
+
+
+def _unpack_len(buf: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """_unpack_vals at k=1 with the [B] shape the batch path expects."""
+    wav, vals = _unpack_vals(buf, 1)
+    return wav, vals[:, 0]
 
 
 @dataclass
@@ -377,7 +387,9 @@ class Engine:
           first-bucket tokens match by sampler-key determinism, pinned by
           tests/test_streaming.py), and the mel context chains the previous
           chunk's device-side mel output — zero host round-trips besides
-          the one wav fetch per chunk."""
+          ONE fetched buffer per chunk (the (n_chunk, gen_len) scalars ride
+          in the wav's tail slots via _pack_len, so no second buffer's RTT
+          is serialized onto the fetch)."""
         cfg = self.cfg
         up = cfg.cfm.upsample
         hop = cfg.audio.hop_length
@@ -439,11 +451,14 @@ class Engine:
             lo = (fp_w + chunk) * up
             mel_chunk = mel[:, lo : lo + chunk * up]
             # fetch payload in f16: audio is [-1, 1] so the 10-bit mantissa
-            # is transparent, and the tunnel fetch is ~1 ms cheaper
-            wav_chunk = wav[:, lo * hop : (lo + chunk * up) * hop].astype(
-                jnp.float16
+            # is transparent, and the tunnel fetch is ~1 ms cheaper; the
+            # (n_chunk, gen_len) scalars ride in the tail slots so each
+            # chunk is ONE fetched buffer (mel_chunk stays on device)
+            wav_chunk = wav[:, lo * hop : (lo + chunk * up) * hop]
+            packed = _pack_len(
+                wav_chunk, jnp.stack([n_chunk, gen_len])[None, :], jnp.float16
             )
-            return wav_chunk, mel_chunk, n_chunk, gen_len
+            return packed, mel_chunk
 
         # params ride as ARGUMENTS, not jit-closure constants: closed-over
         # weights are baked into the compile payload and the tunnel's remote
@@ -481,13 +496,13 @@ class Engine:
                 kv_int8=kv_int8, fused=fused, decode_params=decode_params,
             )
             mel_ctx = jnp.zeros((1, chunk * up, M), jnp.float32)
-            out = window_body(
+            packed, mel_ctx = window_body(
                 cfm_p, voc_p,
                 gen.tokens, gen.lengths[0], jnp.int32(0), prompt_tokens,
                 n_p, prompt_mel, n_mel, spk, mel_ctx, key_cfm,
                 chunk=chunk, fp_w=fp_w,
             )
-            return out + (gen.tokens,)
+            return packed, mel_ctx, gen.tokens
 
         self._stream_first = partial(
             stream_first, self.params.token_lm, self.params.cfm,
@@ -935,14 +950,15 @@ class Engine:
             mel_ctx = jnp.zeros((1, chunk * up, M), jnp.float32)
             while emitted < len(toks):
                 with self.watch.span("stream_chunk"):
-                    wav_c, mel_ctx, n_c, _ = self._stream_chunk(
+                    packed, mel_ctx = self._stream_chunk(
                         src[0], src[1], jnp.int32(emitted), d_prompt, d_np,
                         d_pmel, d_nmel, spk, mel_ctx, cfm_key(),
                         chunk=chunk, fp_w=fp_w,
                     )
-                    wav_np, n_c = jax.device_get((wav_c, n_c))
-                emitted += int(n_c)
-                yield wav_np[0, : int(n_c) * up * hop].astype(np.float32)
+                    wav_np, vals = _unpack_vals(jax.device_get(packed), 2)
+                n_c = int(vals[0, 0])
+                emitted += n_c
+                yield wav_np[0, : n_c * up * hop].astype(np.float32)
             return
 
         # --- token-LM path: fused first program + async full-length run
@@ -1000,8 +1016,9 @@ class Engine:
                     spk, key_lm, max_new_tokens=max_new, kv_int8=kv8,
                     fused=dp_full is not None, decode_params=dp_full,
                 )
-            wav_c, mel_ctx, n_c, len_first, first_tokens = first
-            wav_np, n_c, len_first = jax.device_get((wav_c, n_c, len_first))
+            packed, mel_ctx, first_tokens = first
+            wav_np, vals = _unpack_vals(jax.device_get(packed), 2)
+            n_c, len_first = vals[0, 0], vals[0, 1]
         n_c = int(n_c)
         emitted = n_c
         if n_c > 0:
@@ -1017,14 +1034,13 @@ class Engine:
             gen_len = int(len_first)
         while gen_len is None or emitted < gen_len:
             with self.watch.span("stream_chunk"):
-                wav_c, mel_ctx, n_c, g_len = self._stream_chunk(
+                packed, mel_ctx = self._stream_chunk(
                     src_tokens, src_len, jnp.int32(emitted),
                     d_prompt, d_np, d_pmel, d_nmel, spk, mel_ctx, cfm_key(),
                     chunk=chunk, fp_w=fp_w,
                 )
-                wav_np, n_c, g_len = jax.device_get((wav_c, n_c, g_len))
-            gen_len = int(g_len)
-            n_c = int(n_c)
+                wav_np, vals = _unpack_vals(jax.device_get(packed), 2)
+            n_c, gen_len = int(vals[0, 0]), int(vals[0, 1])
             if n_c <= 0:
                 break
             emitted += n_c

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sampling import SamplerConfig
+from . import engine as engine_mod
 from .continuous import ContinuousBatcher
 
 _SS_KEY = "_stream_session"
@@ -133,13 +134,13 @@ class StreamingScheduler:
         buf = np.zeros((1, self.buf_w), np.int32)
         buf[0, :n_tok] = sess.tokens
         eng.key, sub = jax.random.split(eng.key)
-        wav_c, mel_ctx, n_c, _ = eng._stream_chunk(
+        packed, mel_ctx = eng._stream_chunk(
             jnp.asarray(buf), jnp.int32(n_tok), jnp.int32(sess.emitted),
             d_prompt, d_np, d_pmel, d_nmel, spk, sess.mel_ctx, sub,
             chunk=self.chunk, fp_w=fp_w,
         )
-        wav_np, n_c = jax.device_get((wav_c, n_c))
-        n_c = int(n_c)
+        wav_np, vals = engine_mod._unpack_vals(jax.device_get(packed), 2)
+        n_c = int(vals[0, 0])
         if n_c <= 0:
             return None
         sess.mel_ctx = mel_ctx

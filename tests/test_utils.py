@@ -213,3 +213,17 @@ def test_pack_unpack_len_roundtrip_exact():
         np.testing.assert_array_equal(got_n, ns)
         assert got_wav.shape == wav.shape
         np.testing.assert_allclose(got_wav, wav, atol=1e-3 if dt == "float16" else 0)
+
+
+def test_pack_unpack_multi_value_rows():
+    """Stream programs pack (n_chunk, gen_len) per row — K=2 roundtrip."""
+    import jax.numpy as jnp
+    from autostyle_tts_tpu.pipeline.engine import _pack_len, _unpack_vals
+
+    vals = np.array([[0, 2047], [2048, 4095], [7, (1 << 22) - 1]], np.int32)
+    wav = np.linspace(-1, 1, vals.shape[0] * 4, dtype=np.float32).reshape(-1, 4)
+    for dt in ("float16", "float32"):
+        packed = np.asarray(_pack_len(jnp.asarray(wav), jnp.asarray(vals), dt))
+        got_wav, got = _unpack_vals(packed, 2)
+        np.testing.assert_array_equal(got, vals)
+        assert got_wav.shape == wav.shape
