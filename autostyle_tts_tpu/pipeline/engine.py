@@ -65,10 +65,16 @@ def _pack_len(wav_gen: jnp.ndarray, n_out: jnp.ndarray, dt) -> jnp.ndarray:
     n = n.reshape(-1, 1) if n.ndim <= 1 else n
     if dt.itemsize >= 4:
         tail = n.astype(dt)
-    else:
+    elif dt == jnp.float16:
         tail = jnp.stack([n >> 11, n & 0x7FF], axis=2).reshape(
             n.shape[0], -1
         ).astype(dt)
+    else:
+        # bf16's 8-bit mantissa rounds the 11-bit halves (2047 -> 2048),
+        # silently corrupting lengths — reject rather than mis-crop.
+        raise ValueError(
+            f"fetch_dtype must be float16 or a >=4-byte float, got {dt}"
+        )
     return jnp.concatenate([wav_gen.astype(dt), tail], axis=1)
 
 

@@ -31,16 +31,26 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def _host_cpu_tag() -> str:
+    # Hash the model identity lines TOO, not just the flags line: LLVM picks
+    # tuning features per CPU *model* (e.g. +prefer-no-gather on gather-bug
+    # steppings), so two hosts with identical flags lines can still produce
+    # mutually fatal AOT artifacts.
     import hashlib
     import platform
 
+    keys = ("flags", "Features", "model name", "model", "stepping", "vendor_id")
+    lines = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                if line.startswith(keys):
+                    lines.append(line)
+                if line.strip() == "" and lines:
+                    break  # first core only; all cores are identical
     except OSError:
         pass
+    if lines:
+        return hashlib.sha1("".join(lines).encode()).hexdigest()[:10]
     return platform.machine() or "unknown"
 
 

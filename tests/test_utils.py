@@ -227,3 +227,16 @@ def test_pack_unpack_multi_value_rows():
         got_wav, got = _unpack_vals(packed, 2)
         np.testing.assert_array_equal(got, vals)
         assert got_wav.shape == wav.shape
+
+
+def test_pack_len_rejects_bfloat16():
+    """bf16's 8-bit mantissa rounds the 11-bit halves (2047 -> 2048), which
+    would silently mis-crop every request — _pack_len must reject it."""
+    import jax.numpy as jnp
+    import pytest
+    from autostyle_tts_tpu.pipeline.engine import _pack_len
+
+    wav = jnp.zeros((2, 4), jnp.float32)
+    ns = jnp.asarray([2047, 1], jnp.int32)
+    with pytest.raises(ValueError, match="fetch_dtype"):
+        _pack_len(wav, ns, "bfloat16")
