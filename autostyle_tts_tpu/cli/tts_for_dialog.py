@@ -38,7 +38,12 @@ def main(argv=None) -> None:
     sr = engine.cfg.audio.prompt_sample_rate
     dialogue = read_jsonl(args.dialogue_json)
     style_db = read_jsonl(args.style_wav_json)
-    timbres = {k: load_wav(v, sr) for k, v in parse_timbre_map(args.timbre_map).items()}
+    # featurize each fixed per-speaker timbre ONCE; batches reuse the
+    # PromptFeatures across the whole dialog (reference re-loaded per turn)
+    tmap = parse_timbre_map(args.timbre_map)
+    timbres = dict(zip(
+        tmap, engine.prompt_features([load_wav(v, sr) for v in tmap.values()])
+    )) if tmap else {}
     with open(args.corresponding_json, encoding="utf-8") as f:
         correspond = json.load(f)
     result_dir = timestamped_dir(args.result_dir)

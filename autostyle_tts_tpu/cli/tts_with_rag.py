@@ -57,10 +57,16 @@ def main(argv=None) -> None:
     engine = build_engine(args)
     sr = engine.cfg.audio.prompt_sample_rate
     reader = JsonDataReader(args.corresponding_json)
-    timbres = {k: load_wav(v, sr) for k, v in parse_timbre_map(args.timbre_map).items()}
-    whisper_timbre = (
-        load_wav(args.whisper_timbre, sr) if args.whisper_timbre else None
-    )
+    # featurize each fixed per-speaker timbre ONCE (the reference re-loaded
+    # the same w1/w2/m1/m2 wavs per turn, tts_with_rag.py:180-186); batches
+    # then reuse the PromptFeatures and their device-side caches
+    tmap = parse_timbre_map(args.timbre_map)
+    wlist = [load_wav(v, sr) for v in tmap.values()]
+    if args.whisper_timbre:
+        wlist.append(load_wav(args.whisper_timbre, sr))
+    tfeats = engine.prompt_features(wlist) if wlist else []
+    timbres = dict(zip(tmap, tfeats))
+    whisper_timbre = tfeats[-1] if args.whisper_timbre else None
     style_store = None
     if args.style_db:
         from ..retrieval import StyleStore

@@ -61,8 +61,11 @@ def main(argv=None) -> None:
 
     engine = build_engine(args)
     sr = engine.cfg.audio.prompt_sample_rate
-    style_wav = load_wav(args.style_wav_path, sr)
-    timbre_wav = load_wav(args.timbre_wav_path, sr)
+    # featurize the fixed style/timbre prompts ONCE; every line then reuses
+    # the PromptFeatures (the reference re-processed both wavs per line)
+    style_wav, timbre_wav = engine.prompt_features(
+        [load_wav(args.style_wav_path, sr), load_wav(args.timbre_wav_path, sr)]
+    )
     texts = read_lines(args.txt_path)
     Path(args.result_dir).mkdir(parents=True, exist_ok=True)
     if args.is_exp.lower() in ("true", "1", "yes"):

@@ -47,18 +47,25 @@ def run_matrix(engine, args, timbre_items: List[tuple], rng: random.Random) -> N
     lines = read_lines(args.txt_path)
     style_paths = sample_paths(args.style_dir, args.style_num, rng)
     Path(args.result_dir).mkdir(parents=True, exist_ok=True)
+    # featurize every sampled style/timbre ONCE in one batched device call;
+    # the matrix loop then reuses the PromptFeatures across all combos
+    # (the reference re-loaded + re-processed both wavs per combo, :186-208)
+    style_feats = engine.prompt_features(
+        [load_wav(p, sr) for p in style_paths]
+    )
+    timbre_feats = engine.prompt_features(
+        [load_wav(p, sr) for p, _ in timbre_items]
+    )
     meta_rows: List[str] = []
-    for style_path in style_paths:
+    for style_path, style_feat in zip(style_paths, style_feats):
         style = Path(style_path).stem
-        style_wav = load_wav(style_path, sr)
         style_text = style_text_lookup(args.style_json, style)
-        for timbre_path, _ in timbre_items:
-            timbre_wav = load_wav(timbre_path, sr)
+        for (timbre_path, _), timbre_feat in zip(timbre_items, timbre_feats):
             timbre = Path(timbre_path).stem
             # batch all lines for this (style, timbre) pair in one program
             wavs = engine.synthesize_batch(
                 lines, [style_text] * len(lines),
-                [style_wav] * len(lines), [timbre_wav] * len(lines),
+                [style_feat] * len(lines), [timbre_feat] * len(lines),
             )
             for cnt, (line, wav) in enumerate(zip(lines, wavs), start=1):
                 name = f"{style}_to_{timbre}_{cnt}_new"

@@ -1059,15 +1059,21 @@ class Engine:
         stream: bool = False,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Zero-shot TTS: one wav supplies both prosody and identity
-        (reference: basic.py:15-16). stream=True yields ~1 s chunks."""
-        feats = self.prompt_features([np.asarray(prompt_speech_16k).reshape(-1)])
+        (reference: basic.py:15-16). stream=True yields ~1 s chunks.
+        prompt_speech_16k may be a precomputed PromptFeatures — repeated
+        calls with a fixed prompt then skip featurization."""
+        f = (
+            prompt_speech_16k
+            if isinstance(prompt_speech_16k, PromptFeatures)
+            else self.prompt_features(
+                [np.asarray(prompt_speech_16k).reshape(-1)]
+            )[0]
+        )
         if stream:
-            for chunk in self._synthesize_stream(
-                tts_text, prompt_text, feats[0], feats[0]
-            ):
+            for chunk in self._synthesize_stream(tts_text, prompt_text, f, f):
                 yield {"tts_speech": chunk[None, :]}
             return
-        wavs = self._synthesize([tts_text], [prompt_text], feats, feats)
+        wavs = self._synthesize([tts_text], [prompt_text], [f], [f])
         yield {"tts_speech": wavs[0][None, :]}
 
     def inference_vc(
@@ -1076,12 +1082,22 @@ class Engine:
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Voice conversion: source tokens re-rendered with the prompt's
         identity (reference: tts_with_style_and_timbre.py:57). No LM.
-        stream=True yields chunks."""
-        feats = self.prompt_features(
-            [np.asarray(source_speech_16k).reshape(-1),
-             np.asarray(prompt_speech_16k).reshape(-1)]
+        stream=True yields chunks. Either arg may be a precomputed
+        PromptFeatures (e.g. a fixed target voice across many sources)."""
+        pending = [
+            np.asarray(w).reshape(-1)
+            for w in (source_speech_16k, prompt_speech_16k)
+            if not isinstance(w, PromptFeatures)
+        ]
+        feats = iter(self.prompt_features(pending) if pending else [])
+        src = (
+            source_speech_16k
+            if isinstance(source_speech_16k, PromptFeatures) else next(feats)
         )
-        src, prm = feats
+        prm = (
+            prompt_speech_16k
+            if isinstance(prompt_speech_16k, PromptFeatures) else next(feats)
+        )
         if stream:
             for chunk in self._synthesize_stream(
                 "", "", None, prm, lm_tokens_override=src.tokens
@@ -1198,18 +1214,27 @@ class Engine:
         """Batched tts_with_st: one device program per stage for the whole
         batch (the reference looped utterance-by-utterance, SURVEY §3.1).
         Items that are already PromptFeatures (e.g. pulled from a StyleStore
-        with precomputed artifacts) skip featurization entirely."""
-        pending = [
-            (kind, i, np.asarray(w).reshape(-1))
-            for kind, lst in (("sty", style_wavs), ("tim", timbre_wavs))
-            for i, w in enumerate(lst)
-            if not isinstance(w, PromptFeatures)
-        ]
-        feats = self.prompt_features([w for _, _, w in pending]) if pending else []
+        with precomputed artifacts) skip featurization entirely. Repeated
+        wav OBJECTS (callers pass [wav]*L for a fixed prompt) featurize
+        once — the batch rows then also share one PromptFeatures, so the
+        per-object device caches reuse across calls."""
+        slots: Dict[int, List] = {}   # id(wav) -> [(kind, i), ...]
+        pending: List[Tuple[int, np.ndarray]] = []
+        for kind, lst in (("sty", style_wavs), ("tim", timbre_wavs)):
+            for i, w in enumerate(lst):
+                if isinstance(w, PromptFeatures):
+                    continue
+                key = id(w)
+                if key not in slots:
+                    slots[key] = []
+                    pending.append((key, np.asarray(w).reshape(-1)))
+                slots[key].append((kind, i))
+        feats = self.prompt_features([w for _, w in pending]) if pending else []
         sty = list(style_wavs)
         tim = list(timbre_wavs)
-        for (kind, i, _), f in zip(pending, feats):
-            (sty if kind == "sty" else tim)[i] = f
+        for (key, _), f in zip(pending, feats):
+            for kind, i in slots[key]:
+                (sty if kind == "sty" else tim)[i] = f
         # mesh mode: pad the request batch to a dp multiple so every stage
         # shards cleanly on the data axis; extra rows are dropped at the end
         (tts_texts, style_texts, sty, tim), n_real = self._pad_batch(

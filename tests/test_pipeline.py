@@ -78,6 +78,33 @@ def test_batch_matches_shapes(engine):
         assert w.ndim == 1 and w.size > 0 and np.isfinite(w).all()
 
 
+def test_batch_featurizes_repeated_wav_object_once(engine, monkeypatch):
+    """Callers pass [wav]*L for a fixed prompt — synthesize_batch must
+    featurize the shared object ONCE (and accept PromptFeatures in
+    inference_zero_shot / inference_vc for cross-call reuse)."""
+    calls = []
+    orig = engine.prompt_features
+
+    def counting(wavs):
+        calls.append(len(wavs))
+        return orig(wavs)
+
+    monkeypatch.setattr(engine, "prompt_features", counting)
+    sty, tim = _wav(seed=10, f=210), _wav(seed=11, f=260)
+    wavs = engine.synthesize_batch(
+        ["one", "two", "three"], ["s"] * 3, [sty] * 3, [tim] * 3
+    )
+    assert len(wavs) == 3 and calls == [2]  # 2 unique objects, not 6 rows
+
+    # PromptFeatures pass-through on the single-wav APIs: no featurize call
+    f = orig([_wav(seed=12)])[0]
+    calls.clear()
+    out = list(engine.inference_zero_shot("hi", "p", f))[0]["tts_speech"]
+    assert out.shape[1] > 0 and calls == []
+    outs = list(engine.inference_vc(_wav(seconds=1.0, seed=13), f))
+    assert outs[0]["tts_speech"].shape[1] > 0 and calls == [1]  # source only
+
+
 def test_fused_b1_matches_staged():
     """The fused B=1 synth_one program (LM + CFM + vocoder + crop in one
     dispatch) must produce the same audio as the staged path (profile=True
