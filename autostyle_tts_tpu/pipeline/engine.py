@@ -1244,3 +1244,41 @@ class Engine:
             tts_texts, style_texts, sty, tim, max_seconds=max_seconds
         )
         return out[:n_real]
+
+
+def dryrun_engine(n_devices: int) -> None:
+    """Driver contract (multi-chip serving leg): run the FULL dp x tp
+    synthesis program — featurize -> token LM -> CFM -> vocoder -> crop —
+    over an n_devices mesh at tiny geometry and check parity against the
+    single-device engine. Mirrors tests/test_multichip.py::
+    test_engine_mesh_dp_tp_parity so the driver artifact certifies serving,
+    not just training (SURVEY §2.2)."""
+    from ..parallel.mesh import make_mesh
+    from ..utils.config import tiny_config
+
+    model = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    mesh = make_mesh(data=n_devices // model, model=model)
+    cfg = tiny_config()
+    cfg.fetch_dtype = "float32"   # placement, not payload rounding, is under test
+    sr = cfg.audio.prompt_sample_rate
+    t = np.arange(sr) / sr
+    rng = np.random.default_rng(7)
+    B = max(n_devices // model, 2)
+    texts = [f"hello world {i}" for i in range(B)]
+    styles = [f"style {i}" for i in range(B)]
+    sty = [(0.3 * np.sin(2 * np.pi * (200 + 30 * i) * t)
+            + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+           for i in range(B)]
+    tim = [(0.3 * np.sin(2 * np.pi * (180 + 40 * i) * t)
+            + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+           for i in range(B)]
+    ref = Engine(cfg, seed=3).synthesize_batch(texts, styles, sty, tim)
+    eng = Engine(cfg, seed=3, mesh=mesh)
+    with mesh:
+        got = eng.synthesize_batch(texts, styles, sty, tim)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(g, r, atol=2e-4)
+    print(f"dryrun_engine ok: mesh=({dict(mesh.shape)}), "
+          f"B={B}, wav_len={got[0].shape[0]}")

@@ -99,36 +99,64 @@ def render_samples(
     return out
 
 
+def ffd_pack(lengths: List[int], max_seq_len: int) -> List[List[int]]:
+    """First-fit-decreasing bin packing: sample indices -> rows of indices
+    whose lengths sum to <= max_seq_len. FFD is within 11/9 of the optimal
+    row count — unlike the arrival-order greedy packer it pairs long
+    prompts with short ones, so the packed epoch approaches
+    ceil(sum(len)/max_seq_len) rows. O(n^2) worst case; n is corpus size
+    (thousands), negligible next to rendering."""
+    order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
+    rows: List[List[int]] = []
+    space: List[int] = []        # remaining capacity per open row
+    for i in order:
+        li = lengths[i]
+        for r, sp in enumerate(space):
+            if li <= sp:
+                rows[r].append(i)
+                space[r] = sp - li
+                break
+        else:
+            rows.append([i])
+            space.append(max_seq_len - li)
+    return rows
+
+
+def packed_row_count(
+    rendered: List[Tuple[np.ndarray, np.ndarray]], max_seq_len: int
+) -> int:
+    """Rows the FFD packer will emit — the packing pre-pass (train() uses
+    packed vs unpacked row counts to auto-disable packing when the corpus
+    doesn't compress, VERDICT r4 #7)."""
+    return len(ffd_pack([len(ids) for ids, _ in rendered], max_seq_len))
+
+
 def make_packed_batches(
     samples: List[dict], max_seq_len: int, batch_size: int,
     seed: int = 0, shuffle: bool = True, pad_to_batch: bool = False,
     rendered: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None,
 ) -> Iterator["PackedBatch"]:
     """Sequence packing (TRL SFTTrainer packing=True parity, ft_llm.py:295):
-    greedily packs whole chat samples into rows up to max_seq_len; a segment
-    id per token builds a block-diagonal attention mask so packed samples
-    never attend across boundaries. Cuts padding waste massively on short
-    ERC prompts.
+    first-fit-decreasing packs whole chat samples into rows up to
+    max_seq_len; a segment id per token builds a block-diagonal attention
+    mask so packed samples never attend across boundaries. Cuts padding
+    waste massively on short ERC prompts. `shuffle` randomizes the ROW
+    order per epoch (row composition is the deterministic FFD optimum;
+    sample order inside a row never matters — segments are independent).
 
     pad_to_batch: emit every batch at exactly [batch_size, max_seq_len]
     (trailing all-pad rows carry segment_ids 0 so their loss weight is 0) —
     static shapes, one compile on the train path."""
-    rng = np.random.default_rng(seed)
-    order = rng.permutation(len(samples)) if shuffle else np.arange(len(samples))
     if rendered is None:
         rendered = render_samples(samples, max_seq_len)
 
-    rows: List[List[Tuple[np.ndarray, np.ndarray]]] = []
-    cur: List[Tuple[np.ndarray, np.ndarray]] = []
-    cur_len = 0
-    for ids, lm in (rendered[i] for i in order):
-        if cur and cur_len + len(ids) > max_seq_len:
-            rows.append(cur)
-            cur, cur_len = [], 0
-        cur.append((ids, lm))
-        cur_len += len(ids)
-    if cur:
-        rows.append(cur)
+    idx_rows = ffd_pack([len(ids) for ids, _ in rendered], max_seq_len)
+    rows: List[List[Tuple[np.ndarray, np.ndarray]]] = [
+        [rendered[i] for i in row] for row in idx_rows
+    ]
+    if shuffle:
+        rng = np.random.default_rng(seed)
+        rows = [rows[r] for r in rng.permutation(len(rows))]
 
     for s in range(0, len(rows), batch_size):
         chunk = rows[s : s + batch_size]
@@ -407,8 +435,23 @@ def train(
     # for the count below)
     rendered = render_samples(train_samples, tcfg.max_seq_len)
 
+    # packing pre-pass (VERDICT r4 #7): packing only pays when the corpus
+    # actually compresses. IEMOCAP ±5-window prompts average ~0.9 of
+    # seq1024, so even the FFD optimum cuts <1.1x — then the block-diagonal
+    # mask path is pure complexity and packing steps aside, logged.
+    packing = tcfg.packing
+    if packing:
+        n_packed = packed_row_count(rendered, tcfg.max_seq_len)
+        reduction = len(rendered) / max(n_packed, 1)
+        if reduction < 1.1:
+            packing = False
+            print(f"[lora_sft] packing auto-disabled: FFD step reduction "
+                  f"{reduction:.2f}x < 1.1x on this corpus "
+                  f"({len(rendered)} samples -> {n_packed} packed rows at "
+                  f"seq{tcfg.max_seq_len})")
+
     def epoch_batches(epoch: int) -> Iterator:
-        if tcfg.packing:
+        if packing:
             # packed rows (TRL packing=True, ft_llm.py:302): static
             # [batch_size, max_seq_len] shapes via trailing pad rows
             return make_packed_batches(
@@ -433,7 +476,7 @@ def train(
         make_optimizer(tcfg, total_steps), every_k_schedule=tcfg.grad_accum
     )
     opt_state = optimizer.init(lora)
-    step_fn = make_train_step(cfg, tcfg, optimizer)
+    step_fn = make_train_step(cfg, tcfg, optimizer, packed=packing)
     mgr = CheckpointManager(out_dir, save_total_limit=1)
     best_path = Path(out_dir) / "best.npz"
 
@@ -457,7 +500,7 @@ def train(
         micro = 0
         for batch in epoch_batches(epoch):
             key, sub = jax.random.split(key)
-            aux = batch.segment_ids if tcfg.packing else batch.length
+            aux = batch.segment_ids if packing else batch.length
             lora, opt_state, loss = step_fn(
                 lora, opt_state, params,
                 jnp.asarray(batch.tokens), jnp.asarray(batch.loss_mask),
@@ -497,7 +540,8 @@ def train(
     tb.close()
     Path(out_dir, "history.json").write_text(json.dumps(history, indent=2))
     return {"lora": lora, "best_f1": best_f1, "best_step": best_step,
-            "steps": step, "history": history, "best_checkpoint": str(best_path)}
+            "steps": step, "history": history,
+            "best_checkpoint": str(best_path), "packing": packing}
 
 
 # ----------------------------------------------------------------------- multichip dry run

@@ -958,6 +958,9 @@ def bench_sft(rtt_s: float, cfg=None, seq_len: int = 1024,
     out["packing_utilization"] = round(
         real_tok / max(len(batches) * batch_size * seq_len, 1), 3
     )
+    # packing policy on THIS corpus (VERDICT r4 #7): train() auto-disables
+    # the block-diagonal path when even the FFD optimum compresses <1.1x
+    out["packing_auto_disabled"] = out["packing_step_reduction"] < 1.1
     out["weights_hbm_gb"] = round(tree_bytes(params) / 2**30, 4)
 
     def time_leg(leg_cfg, remat, leg_params, leg_lora, leg_batches):

@@ -201,19 +201,51 @@ def test_evaluate_generation_runs():
 
 
 def test_train_driver_smoke(tmp_path):
-    """Driver default path — PACKED (TRL packing=True, ft_llm.py:302)."""
+    """Driver default path — PACKED (TRL packing=True, ft_llm.py:302).
+    seq 96 fits ~3 of these short samples per row, so the FFD pre-pass
+    keeps packing ON (reduction >= 1.1x)."""
     cfg = _cfg()
-    tcfg = TrainConfig(batch_size=2, grad_accum=2, epochs=1, max_seq_len=48,
+    tcfg = TrainConfig(batch_size=2, grad_accum=2, epochs=1, max_seq_len=96,
                        eval_every=1000, save_every=2, remat=False)
     assert tcfg.packing  # packing is the production default
     params = core.init_params(jax.random.PRNGKey(0), cfg)
     res = lora_sft.train(
         params, cfg, tcfg, _samples(8), out_dir=str(tmp_path / "ft")
     )
-    assert res["steps"] >= 2
+    assert res["packing"]  # pre-pass kept the packed path
+    assert res["steps"] >= 1
     assert (tmp_path / "ft" / "history.json").exists()
     ckpts = list((tmp_path / "ft").glob("checkpoint-*"))
     assert len(ckpts) == 1  # save_total_limit
+
+
+def test_train_packing_auto_disables_on_incompressible_corpus(tmp_path, capsys):
+    """VERDICT r4 #7: when even the FFD optimum compresses <1.1x (samples
+    nearly fill max_seq_len), train() falls back to the unpacked path and
+    logs the measured reduction."""
+    cfg = _cfg()
+    tcfg = TrainConfig(batch_size=2, grad_accum=1, epochs=1, max_seq_len=48,
+                       eval_every=1000, save_every=1000, remat=False)
+    assert tcfg.packing
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    res = lora_sft.train(
+        params, cfg, tcfg, _samples(6), out_dir=str(tmp_path / "ft")
+    )
+    assert not res["packing"]  # ~31-token samples, only 1 fits per 48-row
+    assert "packing auto-disabled" in capsys.readouterr().out
+    assert res["steps"] >= 2   # unpacked path trained normally
+
+
+def test_ffd_beats_greedy_on_bimodal_lengths():
+    """FFD pairs long prompts with short ones; arrival-order greedy packing
+    strands the shorts. 8 long (~2/3 cap) + 8 short (~1/3 cap) rows pack
+    into 8 FFD rows (one long + one short each)."""
+    lens = [64] * 8 + [30] * 8
+    rows = lora_sft.ffd_pack(lens, 96)
+    assert len(rows) == 8
+    assert sorted(i for r in rows for i in r) == list(range(16))
+    for r in rows:
+        assert sum(lens[i] for i in r) <= 96
 
 
 def test_train_driver_unpacked(tmp_path):
