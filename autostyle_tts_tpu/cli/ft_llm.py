@@ -35,6 +35,11 @@ def main(argv=None) -> None:
     p.add_argument("--do_eval_dev", action="store_true")
     p.add_argument("--do_eval_test", action="store_true")
     p.add_argument("--embedder_checkpoint", type=str, default=None)
+    p.add_argument("--quantize_base", action="store_true",
+                   help="int8 frozen base + f32 LoRA (the reference's QLoRA "
+                        "stance, src/ft_llm.py:208-211; REQUIRED to fit the "
+                        "3B geometry in one v5e's 15.75G HBM). Base init is "
+                        "layer-at-a-time so peak HBM stays one layer.")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -72,7 +77,12 @@ def main(argv=None) -> None:
             print(f"reformatted {split}: {n} samples -> {jsonl_path(split)}")
 
     ecfg = cfg.embedder
-    params = core.init_params(jax.random.PRNGKey(args.seed), ecfg)
+    if args.quantize_base:
+        params = core.init_params_quantized(
+            jax.random.PRNGKey(args.seed), ecfg, bits=8
+        )
+    else:
+        params = core.init_params(jax.random.PRNGKey(args.seed), ecfg)
     if args.embedder_checkpoint:
         from ..utils.checkpoint import load_pytree
 

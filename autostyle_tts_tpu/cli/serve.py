@@ -213,12 +213,6 @@ def main(argv=None) -> None:
                         "session decodes (pipeline/stream_serve.py) — every "
                         "request hears first audio while others still "
                         "decode; chunk files land next to the final wav")
-    p.add_argument("--megakernel", action="store_true",
-                   help="--continuous: fuse each batched decode step into "
-                        "one pallas program (needs an int8-quantized LM and "
-                        "a bf16 KV pool; tests/test_pallas_chunk.py parity). "
-                        "EXPERIMENT ONLY: measured 23x slower than the XLA "
-                        "chunk path on-chip (benchmarks/README.md)")
     args = p.parse_args(argv)
 
     engine = build_engine(args)
@@ -276,8 +270,6 @@ def main(argv=None) -> None:
         batcher = ContinuousBatcher(
             engine, slots=args.slots, chunk=args.chunk, p_max=args.p_max,
             max_new=int(args.max_seconds * tl.token_rate),
-            kv_int8=False if args.megakernel else None,
-            megakernel=args.megakernel,
         )
 
         def featurize_req(req):

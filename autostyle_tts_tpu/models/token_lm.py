@@ -948,9 +948,7 @@ def prefill_prefix(
 
 def _chunk_tick(cfg, sampler, min_tokens, S_eff, logits, t, done, steps, key):
     """One tick's sampling / EOS / bookkeeping — the contract SHARED
-    bit-for-bit by decode_chunk (XLA) and decode_chunk_mega (Pallas).
-    Their greedy/sampled parity depends on this block being the single
-    source of truth: mask pad+bos, gate EOS below min_tokens, sample,
+    of decode_chunk: mask pad+bos, gate EOS below min_tokens, sample,
     park finished rows on pad, retire at EOS or capacity.
     Returns (tok, done', steps', key')."""
     eos, padt = cfg.speech_eos, cfg.speech_pad
@@ -1168,72 +1166,3 @@ def decode_chunk(
         cache["v_scale"] = fold(vs_main, app_vs)
     return cache, cur_logits, t, done, steps, toks.T
 
-
-def decode_chunk_mega(
-    mp: Dict,
-    cfg: TokenLMConfig,
-    cache: Dict,
-    cur_logits: jnp.ndarray,    # [B, V] logits for each slot's NEXT token
-    t: jnp.ndarray,             # [B] absolute cache slot the next token writes
-    offset: jnp.ndarray,        # [B] left-pad per slot
-    done: jnp.ndarray,          # [B] bool
-    steps: jnp.ndarray,         # [B] tokens generated so far per slot
-    key: jax.Array,
-    *,
-    n_steps: int,
-    sampler: SamplerConfig = SamplerConfig(temperature=1.0, top_k=25),
-    min_tokens: int = 2,
-    interpret: bool = False,
-):
-    """decode_chunk with the per-step forward fused into ONE pallas program
-    (ops/pallas_decode.mega_chunk_step). Drop-in: same signature semantics
-    and return tuple, same sampling (token_lm.sample, same key stream) —
-    greedy tokens match decode_chunk bit-for-bit on a bf16-dtype config; the
-    kernel writes each slot's new KV row in place through an aligned window
-    instead of carrying append buffers. Requires bf16 (non-quantized) KV
-    cache, n_heads == n_kv_heads, and `mp = mega_decode_params(params, cfg)`.
-    """
-    from ..ops import pallas_decode
-
-    ccfg = core_config(cfg)
-    B, V = cur_logits.shape
-    L, H, K, hd = (ccfg.n_layers, ccfg.n_heads, ccfg.n_kv_heads,
-                   ccfg.head_dim)
-    assert H == K, "mega chunk kernel assumes n_heads == n_kv_heads"
-    assert "k_scale" not in cache, "mega chunk kernel serves the bf16 KV pool"
-    S_tot = cache["k"].shape[2]
-    S_eff = S_tot - n_steps
-    k_all = cache["k"].reshape(L, B, S_tot, K * hd)
-    v_all = cache["v"].reshape(L, B, S_tot, K * hd)
-    invf = mp["invf"]                       # [1, H*hd] rotate-half inv freqs
-    emb8 = mp["emb8"]                       # [V8, D] bf16
-
-    def step(carry, i):
-        k_all, v_all, logits, t, done, steps, key = carry
-        tok, done, steps, key = _chunk_tick(
-            cfg, sampler, min_tokens, S_eff, logits, t, done, steps, key
-        )
-        h0 = emb8[tok]                                     # [B, D] bf16
-        pos = jnp.maximum(t - offset, 0).astype(jnp.float32)
-        cos_rows = jnp.cos(pos[:, None] * invf)            # [B, H*hd]
-        sin_rows = jnp.sin(pos[:, None] * invf)
-        lg_raw, k_all, v_all = pallas_decode.mega_chunk_step(
-            h0, cos_rows, sin_rows, mp, k_all, v_all, t, offset,
-            n_heads=H, head_dim=hd, eps=ccfg.norm_eps, interpret=interpret,
-        )
-        # [JH, B, TV] head tiles -> [B, V] (flat vocab id = tile*TV + col)
-        JH, _, TV = lg_raw.shape
-        nxt = jnp.moveaxis(lg_raw, 0, 1).reshape(B, JH * TV)[:, :V]
-        t = jnp.minimum(t + 1, S_eff - 1)
-        return (k_all, v_all, nxt, t, done, steps, key), tok
-
-    (k_all, v_all, cur_logits, t, done, steps, _), toks = jax.lax.scan(
-        step,
-        (k_all, v_all, cur_logits, t, done, steps, key),
-        jnp.arange(n_steps),
-    )
-    cache = {
-        "k": k_all.reshape(L, B, S_tot, K, hd),
-        "v": v_all.reshape(L, B, S_tot, K, hd),
-    }
-    return cache, cur_logits, t, done, steps, toks.T

@@ -875,441 +875,3 @@ def mega_decode_step(
         k_all, v_all,
     )
 
-
-# --------------------------------------------------------------------------
-# Batched (slot-pool) chunk megakernel — the continuous-serving decode step.
-#
-# token_lm.decode_chunk advances EVERY slot of the continuous batcher by one
-# token per call inside a lax.scan; its XLA form was profiled at 2.2 ms/step
-# (B=8, S=552, 300M int8) against a ~0.6 ms weight+cache stream floor — the
-# gap is per-op overhead and unfused cache reads. This kernel is the fused
-# form of ONE batched decode step (forward only):
-#
-#   grid = (n_layers + 1, 4 + B + ffn_tiles); for layer l:
-#     j = 0..2    : qkv thirds — [B, D] x [D, N] int8 GEMMs (the batch rides
-#                   the MXU sublanes; same weight stream as B=1)
-#     j = 2       : RoPE (host-precomputed per-row cos/sin) — rows differ
-#                   because every slot sits at its OWN decode position
-#     j = 3..B+2  : attention row b = j-3. Row caches are [S, KH] slices of
-#                   the [L, B, S, KH] pool, DMA'd into a revolving 2-slot
-#                   VMEM scratch one row ahead (a whole-pool VMEM copy would
-#                   be B x layer-cache ~ 18 MB); the new token's k/v row is
-#                   folded in via an explicit joint-softmax term and written
-#                   back IN PLACE through an 8-row aligned window — pallas
-#                   aliasing replaces decode_chunk's append-buffer + fold
-#                   machinery (XLA needed it to avoid copy-on-write; a
-#                   kernel just writes).
-#     j = B+3     : attn out-projection for all rows
-#     j = B+4..   : FFN tiles, accumulated
-#   l = n_layers  : final norm + speech-head tiles -> raw logits [B, JH*TV]
-#
-# Sampling/embedding/EOS bookkeeping stay in the XLA scan body
-# (token_lm.decode_chunk_mega): inside one compiled program they cost real
-# compute only, and keeping them out preserves decode_chunk's exact
-# sampling semantics (same token_lm.sample, same key stream).
-# bf16 KV only (per-head int8 scales need sub-128-lane DMA windows);
-# n_heads == n_kv_heads as in the B=1 kernel.
-
-
-def _attn_row_chunk(
-    b, q_s, k_s, v_s, attn_s, kc_ref, vc_ref, kwin, vwin,
-    kout_ref, vout_ref, wr_sems, sc_ref, l, n_heads, head_dim,
-):
-    """Attention for slot row b over its streamed cache + its own new row,
-    then the 8-row-aligned in-place cache write at this row's position."""
-    H, hd = n_heads, head_dim
-    N = H * hd
-    S = kc_ref.shape[0]
-    t_b = sc_ref[0, b]
-    off_b = sc_ref[0, b + sc_ref.shape[1] // 2]
-    g_mat = (
-        jax.lax.broadcasted_iota(jnp.int32, (N, H), 0) // hd
-        == jax.lax.broadcasted_iota(jnp.int32, (N, H), 1)
-    ).astype(jnp.float32)
-    scale = hd ** -0.5
-    q = q_s[pl.ds(b, 1), :]
-    k_new = k_s[pl.ds(b, 1), :]
-    v_new = v_s[pl.ds(b, 1), :]
-    kcf = kc_ref[:].astype(jnp.float32)
-    logits = jnp.dot(kcf * q, g_mat, preferred_element_type=jnp.float32) * scale
-    j_s = jax.lax.broadcasted_iota(jnp.int32, (S, H), 0)
-    logits = jnp.where((j_s < t_b) & (j_s >= off_b), logits, NEG_INF)
-    cur = jnp.dot(q * k_new, g_mat, preferred_element_type=jnp.float32) * scale
-    m = jnp.maximum(jnp.max(logits, axis=0, keepdims=True), cur)
-    p = jnp.exp(logits - m)
-    pc = jnp.exp(cur - m)
-    denom = jnp.sum(p, axis=0, keepdims=True) + pc
-    vcf = vc_ref[:].astype(jnp.float32)
-    p_exp = jnp.dot(p, g_mat.T, preferred_element_type=jnp.float32)
-    num = jnp.sum(p_exp * vcf, axis=0, keepdims=True)
-    pc_exp = jnp.dot(pc, g_mat.T, preferred_element_type=jnp.float32)
-    den_exp = jnp.dot(denom, g_mat.T, preferred_element_type=jnp.float32)
-    attn_s[pl.ds(b, 1), :] = (num + pc_exp * v_new) / den_exp
-
-    # in-place cache write: RMW the aligned 8-row window around t_b from the
-    # fresh VMEM copy (neighbour rows equal HBM), new row at t_b - t8
-    t8 = pl.multiple_of((t_b // 8) * 8, 8)
-    rw = jax.lax.broadcasted_iota(jnp.int32, (8, N), 0)
-    kwin[:] = jnp.where(
-        rw == t_b - t8, k_new.astype(kwin.dtype), kc_ref[pl.ds(t8, 8), :]
-    )
-    vwin[:] = jnp.where(
-        rw == t_b - t8, v_new.astype(vwin.dtype), vc_ref[pl.ds(t8, 8), :]
-    )
-    ck = pltpu.make_async_copy(
-        kwin, kout_ref.at[l, b, pl.ds(t8, 8), :], wr_sems.at[0]
-    )
-    cv = pltpu.make_async_copy(
-        vwin, vout_ref.at[l, b, pl.ds(t8, 8), :], wr_sems.at[1]
-    )
-    ck.start()
-    cv.start()
-    ck.wait()
-    cv.wait()
-
-
-def _mega_chunk_kernel(
-    sc_ref,        # [1, 2B] SMEM: per-row (t, off)
-    h0_ref,        # [B, D] bf16 — embedded incoming tokens
-    cos_ref,       # [B, N] f32 — per-row RoPE rows at each row's position
-    sin_ref,       # [B, N] f32
-    anrm_ref,      # [1, 1, D]
-    wqkv3_ref,     # [1, 1, D, NW] int8
-    wqs3_ref,      # [1, 1, 1, N] f32
-    wo_ref,        # [1, N, DW] int8
-    wos_ref,       # [1, 1, D] f32
-    mnrm_ref,      # [1, 1, D]
-    wgu_ref,       # [1, 1, D, GW] int8
-    wgus_ref,      # [1, 1, 1, 2*TF]
-    wd_ref,        # [1, 1, TF, DW2] int8
-    wds_ref,       # [1, 1, D]
-    fnrm_ref,      # [1, D]
-    head_ref,      # [1, D, TVW] int8
-    heads_ref,     # [1, 1, TV] f32
-    kin_ref,       # [L, B, S, KH] ANY (aliased with kout)
-    vin_ref,
-    lg_ref,        # [1, B, TV] f32 out block — head tile j's logits rows
-                   # (tile-major [JH, B, TV] array: a static full-block
-                   # store per tile instead of a dynamic lane-offset store,
-                   # which Mosaic may reject)
-    kout_ref, vout_ref,
-    h_s,           # VMEM [B, D] bf16 — residual stream across grid steps
-    q_s, k_s, v_s, # VMEM [B, N] f32
-    attn_s,        # VMEM [B, N] f32
-    acc,           # VMEM [B, D] f32 — FFN accumulator
-    kc2, vc2,      # VMEM [2, S, KH] — revolving per-row cache scratch
-    kwin, vwin,    # VMEM [8, KH] — aligned write windows
-    rd_sems,       # DMA sems (2, 2): (k|v, slot)
-    wr_sems,       # DMA sems (2,)
-    *,
-    n_heads: int,
-    head_dim: int,
-    eps: float,
-    n_head_tiles: int,
-    batch: int,
-    int4: bool,
-):
-    l = pl.program_id(0)
-    j = pl.program_id(1)
-    NL = pl.num_programs(0) - 1
-    J = pl.num_programs(1)
-    B = batch
-    H, hd = n_heads, head_dim
-    N = H * hd
-    TV = heads_ref.shape[2]
-    JH = n_head_tiles
-
-    def rd_copies(row, slot):
-        # slot is STATIC (callers branch on row parity) so the revolving
-        # scratch index never needs a traced .at[]
-        kc = kc2.at[0] if slot == 0 else kc2.at[1]
-        vc = vc2.at[0] if slot == 0 else vc2.at[1]
-        return (
-            pltpu.make_async_copy(kin_ref.at[l, row], kc, rd_sems.at[0, slot]),
-            pltpu.make_async_copy(vin_ref.at[l, row], vc, rd_sems.at[1, slot]),
-        )
-
-    @pl.when((l == 0) & (j == 0))
-    def _():
-        h_s[:] = h0_ref[:]
-
-    @pl.when((l < NL) & (j == 0))
-    def _():
-        for c in rd_copies(0, 0):
-            c.start()
-
-    # ---- qkv thirds -------------------------------------------------------
-    @pl.when((l < NL) & (j < 3))
-    def _():
-        hf = h_s[:].astype(jnp.float32)
-        x = _rmsnorm_f32(hf, anrm_ref[0], eps).astype(jnp.bfloat16)
-        part = (
-            jnp.dot(x, _unpack4_lanes(wqkv3_ref[0, 0], int4),
-                    preferred_element_type=jnp.float32)
-            * wqs3_ref[0, 0]
-        )
-
-        @pl.when(j == 0)
-        def _():
-            q_s[:] = part
-
-        @pl.when(j == 1)
-        def _():
-            k_s[:] = part
-
-        @pl.when(j == 2)
-        def _():
-            v_s[:] = part
-
-    # ---- rope + second cache prefetch ------------------------------------
-    @pl.when((l < NL) & (j == 2))
-    def _():
-        q_s[:] = _rope_flat(q_s[:], cos_ref[:], sin_ref[:], hd)
-        k_s[:] = _rope_flat(k_s[:], cos_ref[:], sin_ref[:], hd)
-        if B > 1:
-            for c in rd_copies(1, 1):
-                c.start()
-
-    # ---- attention rows ---------------------------------------------------
-    # row b computes while row b+2's DMA streams into the slot b just freed
-    for b in range(B):
-        @pl.when((l < NL) & (j == 3 + b))
-        def _(b=b):
-            slot = b % 2
-            for c in rd_copies(b, slot):
-                c.wait()
-            kc = kc2.at[0] if slot == 0 else kc2.at[1]
-            vc = vc2.at[0] if slot == 0 else vc2.at[1]
-            _attn_row_chunk(
-                b, q_s, k_s, v_s, attn_s, kc, vc, kwin, vwin,
-                kout_ref, vout_ref, wr_sems, sc_ref, l, H, hd,
-            )
-            if b + 2 < B:
-                for c in rd_copies(b + 2, slot):
-                    c.start()
-
-    # ---- attention out-projection ----------------------------------------
-    @pl.when((l < NL) & (j == 3 + B))
-    def _():
-        delta = (
-            jnp.dot(attn_s[:].astype(jnp.bfloat16),
-                    _unpack4_lanes(wo_ref[0], int4),
-                    preferred_element_type=jnp.float32)
-            * wos_ref[0]
-        )
-        h_s[:] = (h_s[:].astype(jnp.float32) + delta).astype(h_s.dtype)
-
-    # ---- FFN tiles ---------------------------------------------------------
-    @pl.when((l < NL) & (j >= 4 + B))
-    def _():
-        tf = wd_ref.shape[2]
-        hf = h_s[:].astype(jnp.float32)
-        x = _rmsnorm_f32(hf, mnrm_ref[0], eps).astype(jnp.bfloat16)
-        gu = (
-            jnp.dot(x, _unpack4_lanes(wgu_ref[0, 0], int4),
-                    preferred_element_type=jnp.float32)
-            * wgus_ref[0, 0]
-        )
-        g = gu[:, :tf]
-        u = gu[:, tf:]
-        part = jnp.dot(
-            (jax.nn.silu(g) * u).astype(jnp.bfloat16),
-            _unpack4_lanes(wd_ref[0, 0], int4),
-            preferred_element_type=jnp.float32,
-        )
-
-        @pl.when(j == 4 + B)
-        def _():
-            acc[:] = part
-
-        @pl.when(j > 4 + B)
-        def _():
-            acc[:] = acc[:] + part
-
-        @pl.when(j == J - 1)
-        def _():
-            h_s[:] = (
-                h_s[:].astype(jnp.float32) + acc[:] * wds_ref[0]
-            ).astype(h_s.dtype)
-
-    # ---- head phase: final norm + speech-head tiles -> raw logits --------
-    @pl.when((l == NL) & (j < JH))
-    def _():
-        hf = h_s[:].astype(jnp.float32)
-        xn = _rmsnorm_f32(hf, fnrm_ref[:], eps).astype(jnp.bfloat16)
-        row = (
-            jnp.dot(xn, _unpack4_lanes(head_ref[0], int4),
-                    preferred_element_type=jnp.float32)
-            * heads_ref[0]
-        )
-        lg_ref[0] = row
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_heads", "head_dim", "eps", "interpret"),
-)
-def mega_chunk_step(
-    h0: jnp.ndarray,     # [B, D] bf16 — embedded incoming tokens
-    cos_rows: jnp.ndarray,  # [B, N] f32 per-row RoPE rows
-    sin_rows: jnp.ndarray,
-    mp: dict,            # mega_decode_params(...) tile-major weight pytree
-    k_all: jnp.ndarray,  # [L, B, S, KH] bf16 slot-pool caches
-    v_all: jnp.ndarray,
-    t: jnp.ndarray,      # [B] absolute cache slot the new token writes
-    off: jnp.ndarray,    # [B] left-pad per slot
-    *,
-    n_heads: int,
-    head_dim: int,
-    eps: float,
-    interpret: bool = False,
-):
-    """One batched decode-step forward (all layers + speech head) as ONE
-    pallas_call over the continuous batcher's slot pool. Returns
-    (raw_logits [JH, B, TV] f32 head tiles, k_all', v_all'); caches updated in place via
-    aliasing. Sampling/embedding/bookkeeping belong to the caller
-    (token_lm.decode_chunk_mega)."""
-    L, B, S, KH = k_all.shape
-    D = mp["emb8"].shape[1]
-    N = n_heads * head_dim
-    JM = mp["wd_t"].shape[1]
-    TF = mp["wd_t"].shape[2]
-    JH = mp["head_t"].shape[0]
-    int4 = mp["wqkv3"].shape[3] * 2 == N
-    NW = mp["wqkv3"].shape[3]
-    DW = mp["wo"].shape[2]
-    GW = mp["wgu_t"].shape[3]
-    DW2 = mp["wd_t"].shape[3]
-    TVW = mp["head_t"].shape[2]
-    TV = TVW * (2 if int4 else 1)
-    J = 4 + B + JM
-    assert S % 8 == 0, S
-    assert J > JH, (J, JH)
-    kernel = functools.partial(
-        _mega_chunk_kernel, n_heads=n_heads, head_dim=head_dim, eps=eps,
-        n_head_tiles=JH, batch=B, int4=int4,
-    )
-    c2 = lambda l, j: (0, 0)
-    c3 = lambda l, j: (0, 0, 0)
-    lmap3 = lambda l, j: (jnp.minimum(l, L - 1), 0, 0)
-    return pl.pallas_call(
-        kernel,
-        grid=(L + 1, J),
-        in_specs=[
-            pl.BlockSpec((1, 2 * B), c2, memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, D), c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, N), c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, N), c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, D, NW),
-                lambda l, j: (jnp.minimum(l, L - 1),
-                              jnp.where(l == L, 2, jnp.minimum(j, 2)), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, N),
-                lambda l, j: (jnp.minimum(l, L - 1),
-                              jnp.where(l == L, 2, jnp.minimum(j, 2)), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, N, DW), lmap3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, D, GW),
-                lambda l, j: (
-                    jnp.minimum(l, L - 1),
-                    jnp.where(l == L, JM - 1,
-                              jnp.clip(j - (4 + B), 0, JM - 1)), 0, 0,
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, 2 * TF),
-                lambda l, j: (
-                    jnp.minimum(l, L - 1),
-                    jnp.where(l == L, JM - 1,
-                              jnp.clip(j - (4 + B), 0, JM - 1)), 0, 0,
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, TF, DW2),
-                lambda l, j: (
-                    jnp.minimum(l, L - 1),
-                    jnp.where(l == L, JM - 1,
-                              jnp.clip(j - (4 + B), 0, JM - 1)), 0, 0,
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, 1, D), lmap3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), c2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, D, TVW),
-                lambda l, j: (
-                    jnp.where(l == L, jnp.minimum(j, JH - 1), 0), 0, 0
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, TV),
-                lambda l, j: (
-                    jnp.where(l == L, jnp.minimum(j, JH - 1), 0), 0, 0
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, B, TV),
-                lambda l, j: (
-                    jnp.where(l == L, jnp.minimum(j, JH - 1), 0), 0, 0
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((JH, B, TV), jnp.float32),
-            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
-            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
-        ),
-        input_output_aliases={17: 1, 18: 2},
-        scratch_shapes=[
-            pltpu.VMEM((B, D), jnp.bfloat16),
-            pltpu.VMEM((B, N), jnp.float32),
-            pltpu.VMEM((B, N), jnp.float32),
-            pltpu.VMEM((B, N), jnp.float32),
-            pltpu.VMEM((B, N), jnp.float32),
-            pltpu.VMEM((B, D), jnp.float32),
-            pltpu.VMEM((2, S, KH), k_all.dtype),
-            pltpu.VMEM((2, S, KH), v_all.dtype),
-            pltpu.VMEM((8, KH), k_all.dtype),
-            pltpu.VMEM((8, KH), v_all.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * L * D * (3 * N + N + 6 * TF * JM)
-            + 2 * B * D * JH * TV + 4 * B * L * S * N,
-            bytes_accessed=(
-                mp["wqkv3"].size + mp["wo"].size + mp["wgu_t"].size
-                + mp["wd_t"].size + mp["head_t"].size
-                + 2 * k_all.size * k_all.dtype.itemsize
-            ),
-            transcendentals=B * L * (S * n_heads + TF * JM),
-        ),
-    )(
-        jnp.concatenate([t.reshape(1, B), off.reshape(1, B)], axis=1)
-        .astype(jnp.int32),
-        h0.astype(jnp.bfloat16), cos_rows, sin_rows,
-        mp["attn_norm"], mp["wqkv3"], mp["wqs3"], mp["wo"], mp["wos"],
-        mp["mlp_norm"], mp["wgu_t"], mp["wgus_t"], mp["wd_t"], mp["wds"],
-        mp["final_norm"], mp["head_t"], mp["head_s"],
-        k_all, v_all,
-    )

@@ -92,8 +92,6 @@ class ContinuousBatcher:
         min_tokens: int = 2,
         max_new: int = 512,
         kv_int8: Optional[bool] = None,
-        megakernel: bool = False,
-        mega_interpret: Optional[bool] = None,
     ):
         self.engine = engine
         cfg: Config = engine.cfg
@@ -122,42 +120,6 @@ class ContinuousBatcher:
         from ..models import transformer as core
 
         ccfg = token_lm.core_config(self.tl)
-        # opt-in fused chunk decode (ops/pallas_decode.mega_chunk_step):
-        # one pallas program per batched step instead of ~200 XLA ops.
-        # Serves the bf16 KV pool with int8/int4 megakernel weights; the
-        # scanned decode_chunk stays the default + fallback.
-        self.megakernel = bool(megakernel)
-        if mega_interpret is None:   # Mosaic only lowers on TPU; interpret
-            mega_interpret = jax.default_backend() == "cpu"   # for dev/CI
-        self.mega_interpret = bool(mega_interpret)
-        if self.megakernel:
-            if self.kv_int8:
-                raise ValueError(
-                    "megakernel=True serves the bf16 KV pool; pass "
-                    "kv_int8=False (the halved weight stream via int4 "
-                    "megakernel params is the equivalent lever)"
-                )
-            if ccfg.n_heads != ccfg.n_kv_heads:
-                raise ValueError("chunk megakernel needs n_heads == n_kv_heads")
-            from ..ops.quant import QTensor
-
-            if not isinstance(
-                engine.params.token_lm["layers"]["wqkv"], QTensor
-            ):
-                raise ValueError(
-                    "megakernel=True streams int8/int4 weight tiles; the "
-                    "token LM must be quantized (set "
-                    "config.quantize_lm_int8=True)"
-                )
-            # honor the engine's int4 opt-in: halved per-step weight
-            # stream (only when the packed lanes stay whole vregs)
-            use_int4 = (
-                getattr(cfg, "quantize_lm_int4", False)
-                and token_lm.int4_lanes_ok(self.tl)
-            )
-            self.mp = token_lm.mega_decode_params(
-                engine.params.token_lm, self.tl, bits=4 if use_int4 else 8,
-            )
         self.cache = core.make_cache(ccfg, slots, self.s_max,
                                      quantized=self.kv_int8)
         V = self.tl.speech_vocab_size
@@ -304,22 +266,13 @@ class ContinuousBatcher:
             return []
 
         self.key, sub = jax.random.split(self.key)
-        if self.megakernel:
-            (self.cache, self.cur_logits, self.t, self.done, self.steps,
-             toks) = token_lm.decode_chunk_mega(
-                self.mp, self.tl, self.cache,
-                self.cur_logits, self.t, self.offset, self.done, self.steps,
-                sub, n_steps=self.chunk, sampler=self.sampler,
-                min_tokens=self.min_tokens, interpret=self.mega_interpret,
-            )
-        else:
-            (self.cache, self.cur_logits, self.t, self.done, self.steps,
-             toks) = token_lm.decode_chunk(
-                self.engine.params.token_lm, self.tl, self.cache,
-                self.cur_logits, self.t, self.offset, self.done, self.steps,
-                sub, n_steps=self.chunk, sampler=self.sampler,
-                min_tokens=self.min_tokens,
-            )
+        (self.cache, self.cur_logits, self.t, self.done, self.steps,
+         toks) = token_lm.decode_chunk(
+            self.engine.params.token_lm, self.tl, self.cache,
+            self.cur_logits, self.t, self.offset, self.done, self.steps,
+            sub, n_steps=self.chunk, sampler=self.sampler,
+            min_tokens=self.min_tokens,
+        )
         toks_h, done_h = jax.device_get((toks, self.done))  # ONE fetch/chunk
 
         finished: List[dict] = []

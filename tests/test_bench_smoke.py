@@ -94,13 +94,12 @@ def test_cfm_steps(bench, engine):
     assert out["ms_2step_plain"] <= out["ms_10step_cfg"] * 1.5 + 0.5
 
 
-def test_chunk_mega(bench, engine):
-    out = bench.bench_chunk_mega(engine, B=2, chunk=4, s_max=64, t0_fill=16,
-                                 n_chunks=3)
+def test_chunk(bench, engine):
+    out = bench.bench_chunk(engine, B=2, chunk=4, s_max=64, t0_fill=16,
+                            n_chunks=3)
     _no_error(out)
     assert out["xla_bf16kv_ms_per_step"] > 0
     assert out["xla_int8kv_ms_per_step"] > 0
-    # megakernel legs are TPU-only (Mosaic); on CPU they report mega_error
 
 
 def test_continuous_poisson(bench, engine, prompts):
