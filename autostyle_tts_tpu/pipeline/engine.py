@@ -407,47 +407,59 @@ class Engine:
             n_mel, spk, mel_ctx, key, *, chunk, fp_w,
         ):
             """Solve one [prompt | ctx | chunk] window; all inputs device.
-            prompt_mel comes in at [1, fp_w*up, M]; mel_ctx [1, chunk*up, M]
-            is the previous chunk's generated mel (zeros for chunk 0)."""
+            prompt_mel comes in at [B, fp_w*up, M]; mel_ctx [B, chunk*up, M]
+            is the previous chunk's generated mel (zeros for chunk 0).
+            gen_len/emitted/n_p/n_mel are scalars (single session) or [B]
+            (one row per concurrent session — stream_serve renders every
+            chunk-ready session in ONE program + ONE fetch per tick, so
+            N-session TTFB stays near single-session instead of paying N
+            sequential render+RTT legs, r4 VERDICT #8)."""
             W = fp_w + 2 * chunk
-            n_chunk = jnp.minimum(chunk, gen_len - emitted)
-            n_ctx = jnp.minimum(chunk, emitted)
+            B_w = gen_tokens.shape[0]
+            gl = jnp.asarray(gen_len, jnp.int32).reshape(-1)[:, None]
+            em = jnp.asarray(emitted, jnp.int32).reshape(-1)[:, None]
+            npp = jnp.asarray(n_p, jnp.int32).reshape(-1)[:, None]
+            nm = jnp.asarray(n_mel, jnp.int32).reshape(-1)[:, None]
+            n_chunk = jnp.minimum(chunk, gl - em)             # [B, 1]
+            n_ctx = jnp.minimum(chunk, em)
             slot = jnp.arange(W)[None, :]
-            ctx_lo = fp_w + chunk - n_ctx
+            ctx_lo = fp_w + chunk - n_ctx                     # [B, 1]
             # right-aligned context: slot fp_w+chunk+(i-emitted) holds gen
             # token i, so content slots are contiguous across ctx|chunk
-            gidx = slot - (fp_w + chunk) + emitted
+            gidx = slot - (fp_w + chunk) + em                 # [B, W]
             from_gen = jnp.take_along_axis(
                 gen_tokens, jnp.clip(gidx, 0, gen_tokens.shape[1] - 1), axis=1
             )
             from_prompt = jnp.take_along_axis(
-                prompt_tokens, jnp.clip(slot, 0, fp_w - 1), axis=1
+                prompt_tokens, jnp.broadcast_to(
+                    jnp.clip(slot, 0, fp_w - 1), (B_w, W)), axis=1
             )
-            in_tail = (slot >= ctx_lo) & (gidx < emitted + n_chunk) & (slot >= fp_w)
+            in_tail = (slot >= ctx_lo) & (gidx < em + n_chunk) & (slot >= fp_w)
             tokens_w = jnp.where(
-                slot < n_p, from_prompt, jnp.where(in_tail, from_gen, 0)
+                slot < npp, from_prompt, jnp.where(in_tail, from_gen, 0)
             )
             fr = jnp.arange(W * up)[None, :]
             sl = fr // up
             in_ctx_fr = (sl >= ctx_lo) & (sl < fp_w + chunk)
-            pmask = ((fr < n_mel) | in_ctx_fr).astype(jnp.float32)
+            pmask = ((fr < nm) | in_ctx_fr).astype(jnp.float32)
             fmask = (
-                (fr < n_p * up)
+                (fr < npp * up)
                 | (in_ctx_fr | ((sl >= fp_w + chunk) & (sl < fp_w + chunk + n_chunk)))
             ).astype(jnp.float32)
-            pm = jnp.zeros((1, W * up, M), jnp.float32)
+            pmask = jnp.broadcast_to(pmask, (B_w, W * up))
+            fmask = jnp.broadcast_to(fmask, (B_w, W * up))
+            pm = jnp.zeros((B_w, W * up, M), jnp.float32)
             fpm = jnp.arange(fp_w * up)[None, :, None]
-            pm = pm.at[:, : fp_w * up].set(prompt_mel * (fpm < n_mel))
+            pm = pm.at[:, : fp_w * up].set(prompt_mel * (fpm < nm[:, :, None]))
             pm = pm.at[:, fp_w * up : (fp_w + chunk) * up].set(mel_ctx)
             pm = pm * pmask[..., None]
             # absolute positions: chunk start lands exactly at (n_p+emitted)*up
-            tail_abs = (n_p + emitted - chunk) * up
-            pos = jnp.concatenate([
-                jnp.arange(fp_w * up, dtype=jnp.int32),
-                jnp.maximum(
-                    tail_abs + jnp.arange(2 * chunk * up, dtype=jnp.int32), 0
-                ),
-            ])[None, :]
+            tail_abs = (npp + em - chunk) * up                # [B, 1]
+            pos = jnp.where(
+                fr < fp_w * up, fr,
+                jnp.maximum(tail_abs + (fr - fp_w * up), 0),
+            ).astype(jnp.int32)
+            pos = jnp.broadcast_to(pos, (B_w, W * up))
             cond = cfm.upsample_tokens(cfm_p, tokens_w, up)
             mel = cfm.sample_mel(
                 cfm_p, cfg.cfm, key, cond, spk, pm, pmask, fmask,
@@ -462,7 +474,11 @@ class Engine:
             # chunk is ONE fetched buffer (mel_chunk stays on device)
             wav_chunk = wav[:, lo * hop : (lo + chunk * up) * hop]
             packed = _pack_len(
-                wav_chunk, jnp.stack([n_chunk, gen_len])[None, :], jnp.float16
+                wav_chunk,
+                jnp.concatenate(
+                    [n_chunk, jnp.broadcast_to(gl, n_chunk.shape)], axis=1
+                ),
+                jnp.float16,
             )
             return packed, mel_chunk
 

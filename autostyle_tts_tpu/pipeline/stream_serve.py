@@ -119,33 +119,62 @@ class StreamingScheduler:
 
     # ------------------------------------------------------------------ tick
 
-    def _render_next(self, sess: _Session) -> Optional[np.ndarray]:
-        """Render ONE window for this session if a chunk is due. Returns
-        float32 samples or None."""
-        n_tok = len(sess.tokens)
-        avail = n_tok - sess.emitted
-        if avail <= 0 or (avail < self.chunk and not sess.decode_done):
-            return None
+    def _chunk_due(self, sess: _Session) -> bool:
+        avail = len(sess.tokens) - sess.emitted
+        return avail > 0 and (avail >= self.chunk or sess.decode_done)
+
+    def _render_batch(self, due: List[_Session]) -> Dict[int, np.ndarray]:
+        """Render one window for EVERY chunk-ready session in ONE program +
+        ONE fetch (sessions grouped by flow-prompt bucket). Per-session
+        sequential renders serialized a render+RTT leg per caller and made
+        4-session TTFB ~3.5x single-session (r4 VERDICT #8); the batched
+        window is the same `_stream_chunk` program with per-row scalars.
+        Returns {index in `due`: wav chunk}."""
         eng = self.engine
-        dev = eng._flow_stream_dev(sess.flow_feat)
-        (fp_w, up, M), d_prompt, d_pmel, d_np, d_nmel, spk = dev
-        if sess.mel_ctx is None:
-            sess.mel_ctx = jnp.zeros((1, self.chunk * up, M), jnp.float32)
-        buf = np.zeros((1, self.buf_w), np.int32)
-        buf[0, :n_tok] = sess.tokens
-        eng.key, sub = jax.random.split(eng.key)
-        packed, mel_ctx = eng._stream_chunk(
-            jnp.asarray(buf), jnp.int32(n_tok), jnp.int32(sess.emitted),
-            d_prompt, d_np, d_pmel, d_nmel, spk, sess.mel_ctx, sub,
-            chunk=self.chunk, fp_w=fp_w,
-        )
-        wav_np, vals = engine_mod._unpack_vals(jax.device_get(packed), 2)
-        n_c = int(vals[0, 0])
-        if n_c <= 0:
-            return None
-        sess.mel_ctx = mel_ctx
-        sess.emitted += n_c
-        return wav_np[0, : n_c * up * self.hop].astype(np.float32)
+        out: Dict[int, np.ndarray] = {}
+        groups: Dict[tuple, List[int]] = {}
+        devs = []
+        for i, sess in enumerate(due):
+            dev = eng._flow_stream_dev(sess.flow_feat)
+            devs.append(dev)
+            groups.setdefault(dev[0], []).append(i)
+        for (fp_w, up, M), idxs in groups.items():
+            B = len(idxs)
+            buf = np.zeros((B, self.buf_w), np.int32)
+            gl = np.zeros((B,), np.int32)
+            em = np.zeros((B,), np.int32)
+            for r, i in enumerate(idxs):
+                sess = due[i]
+                n_tok = len(sess.tokens)
+                buf[r, :n_tok] = sess.tokens
+                gl[r] = n_tok
+                em[r] = sess.emitted
+                if sess.mel_ctx is None:
+                    sess.mel_ctx = jnp.zeros(
+                        (1, self.chunk * up, M), jnp.float32)
+            d_prompt = jnp.concatenate([devs[i][1] for i in idxs], axis=0)
+            d_pmel = jnp.concatenate([devs[i][2] for i in idxs], axis=0)
+            d_np = jnp.stack([devs[i][3] for i in idxs])
+            d_nmel = jnp.stack([devs[i][4] for i in idxs])
+            spk = jnp.concatenate([devs[i][5] for i in idxs], axis=0)
+            mel_ctx = jnp.concatenate(
+                [due[i].mel_ctx for i in idxs], axis=0)
+            eng.key, sub = jax.random.split(eng.key)
+            packed, mel_out = eng._stream_chunk(
+                jnp.asarray(buf), jnp.asarray(gl), jnp.asarray(em),
+                d_prompt, d_np, d_pmel, d_nmel, spk, mel_ctx, sub,
+                chunk=self.chunk, fp_w=fp_w,
+            )
+            wav_np, vals = engine_mod._unpack_vals(jax.device_get(packed), 2)
+            for r, i in enumerate(idxs):
+                n_c = int(vals[r, 0])
+                if n_c <= 0:
+                    continue
+                sess = due[i]
+                sess.mel_ctx = mel_out[r : r + 1]
+                sess.emitted += n_c
+                out[i] = wav_np[r, : n_c * up * self.hop].astype(np.float32)
+        return out
 
     def step(self) -> List[StreamEvent]:
         """Advance decode by one chunk, then emit due audio chunks. Safe to
@@ -173,11 +202,18 @@ class StreamingScheduler:
                 if sess is not None:
                     sess.tokens = [int(t) for t in req["tokens"]]
                     sess.decode_done = True
-        # render at most one chunk per session per tick (stream cadence)
-        for sid in list(self.sessions):
+        # render at most one chunk per session per tick (stream cadence) —
+        # ALL due sessions in one batched program + one fetch
+        order = list(self.sessions)
+        due_ids = [sid for sid in order
+                   if not self.sessions[sid].done
+                   and self._chunk_due(self.sessions[sid])]
+        rendered = self._render_batch([self.sessions[sid] for sid in due_ids])
+        wavs = {due_ids[i]: w for i, w in rendered.items()}
+        for sid in order:
             sess = self.sessions[sid]
             if not sess.done:
-                wav = self._render_next(sess)
+                wav = wavs.get(sid)
                 if wav is not None:
                     events.append(StreamEvent(sid, "chunk", wav))
                 if sess.decode_done and sess.emitted >= len(sess.tokens):

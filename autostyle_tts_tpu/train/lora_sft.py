@@ -64,7 +64,10 @@ def render_chat(
 
 
 def decode_assistant(ids: Sequence[int]) -> str:
-    """Extract the first assistant span from generated ids."""
+    """Extract the first assistant span from generated ids. Ids beyond the
+    byte plane (BYTE_OFFSET+255 — a large-vocab model can emit any id; an
+    untrained 128k-vocab 3B mostly does) are skipped as unknown tokens
+    rather than crashing bytes()."""
     ids = list(int(i) for i in ids)
     out = []
     for i in ids:
@@ -72,7 +75,7 @@ def decode_assistant(ids: Sequence[int]) -> str:
             if out:
                 break
             continue
-        if i >= frontend.BYTE_OFFSET:
+        if frontend.BYTE_OFFSET <= i < frontend.BYTE_OFFSET + 256:
             out.append(i - frontend.BYTE_OFFSET)
     return bytes(out).decode("utf-8", errors="replace").strip()
 

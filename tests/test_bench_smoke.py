@@ -153,6 +153,11 @@ def test_embedder_7b_section(bench):
     out = bench.bench_embedder_7b(cfg=cfg)
     _no_error(out)
     assert out["int4_hbm_weights_gb"] > 0
+    # r5: full int8 surface (embed QPS / bio batch / decode) + int4 legs
+    assert out["int8_hbm_weights_gb"] > out["int4_hbm_weights_gb"]
+    assert out["int8_embed_qps"] > 0
+    assert out["int8_bio_per_s_batch8"] > 0
+    assert out["int4_decode_ms_per_step"] >= 0
 
 
 def test_sft_section(bench):

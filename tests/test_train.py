@@ -340,3 +340,15 @@ def test_packed_batches_shapes():
 # test tier (see conftest): excluded from the `-m fast` iteration loop
 import pytest as _pytest  # noqa: E402
 pytestmark = _pytest.mark.slow
+
+
+def test_decode_assistant_large_vocab_ids():
+    """A 128k-vocab model (the real 3B embedder) can emit any id; ids beyond
+    the byte plane must be skipped, not crash bytes() (found by the first
+    on-chip 3B eval, r5)."""
+    from autostyle_tts_tpu.models import frontend
+
+    B = frontend.BYTE_OFFSET
+    assert lora_sft.decode_assistant([B + 104, B + 105, 13]) == "hi"
+    assert lora_sft.decode_assistant([90000, B + 111, B + 107, 120000]) == "ok"
+    assert lora_sft.decode_assistant([99999, 123456]) == ""
