@@ -37,7 +37,15 @@ def build_embedder(args, cfg):
 
         tokenizer = transformers.AutoTokenizer.from_pretrained(args.embedder_hf_dir)
     else:
-        params = core.init_params(jax.random.PRNGKey(args.seed), ecfg)
+        if getattr(args, "quantize_base", False):
+            # int8 frozen base (the reference served its embedder 8-bit,
+            # milvus/RAG.py:89-92): the only way a 3B base + adapter fits
+            # one 15.75G chip next to anything else
+            params = core.init_params_quantized(
+                jax.random.PRNGKey(args.seed), ecfg, bits=8
+            )
+        else:
+            params = core.init_params(jax.random.PRNGKey(args.seed), ecfg)
         if getattr(args, "embedder_checkpoint", None):
             from ..utils.checkpoint import load_pytree
 
@@ -47,8 +55,15 @@ def build_embedder(args, cfg):
     if getattr(args, "lora_checkpoint", None):
         from ..utils.checkpoint import load_pytree
 
+        import jax.numpy as jnp
+
         lora0 = core.init_lora(jax.random.PRNGKey(0), ecfg, cfg.train.lora.r)
-        lora = load_pytree(args.lora_checkpoint, lora0)
+        # f16 artifact (artifacts/ft3b/adapter_f16.npz) loads fine; compute
+        # in f32 like training did
+        lora = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32),
+            load_pytree(args.lora_checkpoint, lora0),
+        )
         lora_scale = cfg.train.lora.alpha / cfg.train.lora.r
     if tokenizer is None and getattr(args, "bpe_path", None):
         from ..models.bpe import BPETokenizer
@@ -66,6 +81,9 @@ def add_embedder_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--embedder_hf_dir", type=str, default=None,
                    help="local HF checkpoint dir (Llama/Qwen2) — converted on load")
     p.add_argument("--lora_checkpoint", type=str, default=None)
+    p.add_argument("--quantize_base", action="store_true",
+                   help="int8 frozen base via the bounded layer-at-a-time "
+                        "builder (RAG.py:89-92 8-bit serving parity)")
     p.add_argument("--language", type=str, default="en", choices=("en", "zh"),
                    help="emotion label set for classification prompts "
                         "(zh = the 7-label CN set, reformat_data_ft_llm_cn.py)")

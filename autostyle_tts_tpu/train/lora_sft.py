@@ -395,21 +395,32 @@ def evaluate_generation(
 
     y_true = [s["messages"][-1]["content"] for s in samples]
     preds: List[str] = []
+    # generate() donates its cache and returns it — reuse ONE buffer across
+    # batches instead of allocating+zeroing a fresh one per call (at 3B
+    # geometry that's 3.6 GB of remote allocator churn per 8-row batch);
+    # stale slots are safe: prefill rewrites 0..P, the decode mask reads
+    # only written slots. The ragged tail pads to batch_size so the same
+    # compiled program (and cache shape) serves every batch.
+    cache = None
     for s0 in range(0, len(samples), batch_size):
         chunk = samples[s0 : s0 + batch_size]
+        n_real = len(chunk)
+        chunk = chunk + [chunk[-1]] * (batch_size - n_real)
         prompts = []
         for s in chunk:
             ids, _ = render_chat(s["messages"][:-1], add_generation_prompt=True)
             prompts.append(ids[-max_prompt:])
         toks, lens = core.left_pad(prompts, pad_id=frontend.PAD_ID, width=max_prompt)
-        cache = core.make_cache(cfg, len(chunk), max_prompt + max_new + 1)
+        if cache is None:
+            cache = core.make_cache(cfg, batch_size, max_prompt + max_new + 1)
         res = core.generate(
             params, cfg, jnp.asarray(toks), jnp.asarray(lens), cache,
             jax.random.PRNGKey(0), max_new_tokens=max_new,
             sampler=SamplerConfig.label(), eos_id=END, pad_id=frontend.PAD_ID,
             lora=lora, lora_scale=lora_scale,
         )
-        for row in np.asarray(res.tokens):
+        cache = res.cache
+        for row in np.asarray(res.tokens)[:n_real]:
             preds.append(match_label(decode_assistant(row), labels))
     return weighted_f1(y_true, preds, labels), preds
 

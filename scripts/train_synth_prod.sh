@@ -48,13 +48,13 @@ python -m autostyle_tts_tpu.cli.export_engine \
 python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
   --checkpoint "$WORK/engine_tok.npz" \
   --stage token_lm --out_dir "$WORK/ck_lm" --batch_size "${BS_LM:-16}" \
-  --epochs "${EP_LM:-20}" --learning_rate 3e-4 --save_every 1000
+  --epochs "${EP_LM:-20}" --learning_rate "${LR_LM:-1.5e-4}" --save_every 1000
 
 # 4) CFM mel decoder (dim 512 L8)
 python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
   --checkpoint "$WORK/engine_tok.npz" \
   --stage cfm --out_dir "$WORK/ck_cfm" --batch_size "${BS_CFM:-16}" \
-  --epochs "${EP_CFM:-20}" --learning_rate 3e-4 --save_every 1000
+  --epochs "${EP_CFM:-20}" --learning_rate "${LR_CFM:-2e-4}" --save_every 1000
 
 # 5) vocoder (iSTFT/Vocos kind — the flagship default — under the GAN recipe)
 python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
