@@ -18,6 +18,7 @@ jitted train step:
 from __future__ import annotations
 
 import json
+import time
 from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
@@ -34,6 +35,12 @@ from ..parallel.mesh import make_mesh
 from ..parallel.sharding import batch_sharding, param_shardings, replicated
 from ..utils.checkpoint import CheckpointManager, save_pytree
 from ..utils.config import TrainConfig, TransformerConfig
+
+# liveness beacon for external watchdogs: train() stamps every micro-step.
+# The tunneled device can wedge silently mid-RPC (observed: 40 min of
+# nothing on an otherwise healthy run) — a driver thread polling this dict
+# is the only way to tell "slow step" from "stuck forever".
+HEARTBEAT: Dict = {"t": 0.0, "step": 0, "micro": 0}
 
 
 # ----------------------------------------------------------------------- chat template
@@ -420,6 +427,7 @@ def evaluate_generation(
             lora=lora, lora_scale=lora_scale,
         )
         cache = res.cache
+        HEARTBEAT.update(t=time.time(), eval_row=s0)
         for row in np.asarray(res.tokens)[:n_real]:
             preds.append(match_label(decode_assistant(row), labels))
     return weighted_f1(y_true, preds, labels), preds
@@ -521,12 +529,18 @@ def train(
                 jnp.asarray(aux), sub,
             )
             micro += 1
+            HEARTBEAT.update(t=time.time(), step=step, micro=micro)
             if micro % tcfg.grad_accum:
                 continue
             step += 1
             if step % log_every == 0:
+                # float(loss) fetches through the tunnel = a real device sync
+                # (block_until_ready does NOT sync through axon)
                 history.append({"step": step, "loss": float(loss)})
                 tb.scalar("train/loss", float(loss), step)
+                tb.flush()
+                print(f"[lora_sft] step {step}/{total_steps} "
+                      f"loss {history[-1]['loss']:.4f}", flush=True)
             if eval_samples and labels and step % tcfg.eval_every == 0:
                 f1, _ = evaluate_generation(
                     params, cfg, eval_samples, labels, lora=lora,

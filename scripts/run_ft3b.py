@@ -52,6 +52,12 @@ def main() -> None:
     p.add_argument("--out", type=str, default=str(REPO / "artifacts" / "ft3b"))
     p.add_argument("--dry", action="store_true",
                    help="CPU validation: tiny geometry, 2-conversation data")
+    p.add_argument("--skip_before", type=float, default=None,
+                   help="skip the 18-min f1_before eval and record this "
+                        "value (the seeded random base measured 0.0000)")
+    p.add_argument("--stall_min", type=float, default=25.0,
+                   help="abort if no train/eval progress for this many "
+                        "minutes (the tunneled device wedges silently)")
     args = p.parse_args()
 
     import jax
@@ -92,11 +98,37 @@ def main() -> None:
     )
     print(f"int8 base initialized in {time.time() - t0:.1f}s")
 
+    # stale-progress watchdog: the tunneled device can wedge mid-RPC with
+    # zero client-side signal (observed once: 40 min silent at training
+    # start). lora_sft stamps HEARTBEAT every micro-step / eval batch;
+    # going stall_min without a stamp means the run is dead — exit loudly
+    # so the driver restarts instead of burning the round's TPU hours.
+    import os
+    import threading
+
+    lora_sft.HEARTBEAT["t"] = time.time()
+
+    def _watchdog():
+        while True:
+            time.sleep(60)
+            stale = time.time() - lora_sft.HEARTBEAT["t"]
+            if stale > args.stall_min * 60:
+                print(f"[watchdog] no progress for {stale/60:.1f} min "
+                      f"(last: {lora_sft.HEARTBEAT}) — device wedged, "
+                      f"aborting", flush=True)
+                os._exit(17)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     t0 = time.time()
-    f1_before, _ = lora_sft.evaluate_generation(
-        params, cfg, valid_samples, labels
-    )
-    print(f"f1_before={f1_before:.4f} ({time.time() - t0:.1f}s)")
+    if args.skip_before is not None:
+        f1_before = float(args.skip_before)
+        print(f"f1_before={f1_before:.4f} (recorded, eval skipped)")
+    else:
+        f1_before, _ = lora_sft.evaluate_generation(
+            params, cfg, valid_samples, labels
+        )
+        print(f"f1_before={f1_before:.4f} ({time.time() - t0:.1f}s)")
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
