@@ -1,0 +1,192 @@
+"""Retrieval delta from the trained 3B adapter, through the production
+ablation mechanism (r4 VERDICT #2, last clause).
+
+The reference's C11/C12 ablations (search_json_ab_text.py:406-420) measure
+retrieval with only the emotion half of the combined query. This script runs
+that exact mechanism at the REAL Llama-3.2-3B geometry on the real IEMOCAP
+valid split, with the base embedder vs base + the artifacts/ft3b adapter:
+
+  DB side     256 turns -> per-turn predicted emotion label ->
+              combined_embedding(label, placeholder bio) -> StyleStore
+  query side  256 disjoint turns -> search_dialog(ablation="emotion_only")
+  metric      precision@k = retrieved row's GOLD label == query turn's GOLD
+              label (the adapter never sees gold labels at serve time)
+
+Both sides run through the same model, exactly like production: a better
+ERC classifier clusters turns by true emotion, so same-gold precision rises
+above the class-prior matching baseline sum_c p_q(c) * p_db(c).
+
+Writes artifacts/ft3b/retrieval_delta.json.
+
+  python scripts/retrieval_delta_3b.py [--n 256] [--k 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+DATA = Path("/root/reference/data")
+
+
+def valid_turns():
+    """(text, gold_label, speaker) for every utterance in the valid split."""
+    from autostyle_tts_tpu.train.reformat import EN_LABELS
+
+    convs = json.loads((DATA / "iemocap.valid.json").read_text())
+    out = []
+    for conv_id, conv in convs.items():
+        genders = conv.get("genders", [])
+        for i, (lab, text) in enumerate(zip(conv["labels"], conv["sentences"])):
+            g = genders[i] if i < len(genders) else "X"
+            out.append((text, EN_LABELS[int(lab)], f"{conv_id}_{g}"))
+    return out
+
+
+def run_side(emb, db, queries, k: int):
+    """Insert DB turns, query with the emotion-only ablation, score @k."""
+    from autostyle_tts_tpu.pipeline.rag import (
+        PLACEHOLDER_BIO, DialogTurn, search_dialog,
+    )
+    from autostyle_tts_tpu.retrieval import StyleStore
+
+    store = StyleStore(dim=2 * emb.cfg.dim, capacity=1024)
+    golds_db = []
+    for s0 in range(0, len(db), 16):
+        chunk = db[s0 : s0 + 16]
+        emotions = emb.emotion_labels([t for t, _, _ in chunk])
+        vecs = emb.combined_embedding(
+            emotions, [PLACEHOLDER_BIO] * len(chunk)
+        )
+        store.insert(
+            vecs,
+            [
+                {"file_id": str(s0 + i), "text": t, "emotion": e}
+                for i, ((t, _, _), e) in enumerate(zip(chunk, emotions))
+            ],
+        )
+        golds_db.extend(g for _, g, _ in chunk)
+
+    turns = [DialogTurn(zh_text=t, speaker=s) for t, _, s in queries]
+    rows = search_dialog(
+        emb, store, turns, top_k=k, ablation="emotion_only",
+    )
+    # search_dialog returns the TOP hit per turn; precision@k needs all k —
+    # re-run the search on the raw vectors it used is redundant; instead
+    # score precision@1 from rows and @k from a direct store query below.
+    p1 = float(np.mean([
+        golds_db[r.retrieved_index] == g
+        for r, (_, g, _) in zip(rows, queries)
+        if r.retrieved_index is not None
+    ]))
+
+    # @k through the same query construction (emotion-only, renormed)
+    emotions_q = []
+    for s0 in range(0, len(queries), 16):
+        emotions_q.extend(
+            emb.emotion_labels([t for t, _, _ in queries[s0 : s0 + 16]])
+        )
+    qv = emb.combined_embedding(
+        emotions_q, [PLACEHOLDER_BIO] * len(queries)
+    )
+    half = qv.shape[1] // 2
+    qv[:, half:] = 0.0
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    hits = store.search(qv, k=k)
+    pk = float(np.mean([
+        np.mean([golds_db[h.index] == g for h in hl]) if hl else 0.0
+        for hl, (_, g, _) in zip(hits, queries)
+    ]))
+    acc = float(np.mean([e == g for e, (_, g, _) in zip(emotions_q, queries)]))
+    return {"precision_at_1": round(p1, 4), f"precision_at_{k}": round(pk, 4),
+            "label_accuracy_serving_prompt": round(acc, 4)}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=256, help="turns per side")
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--art", type=str, default=str(REPO / "artifacts" / "ft3b"))
+    p.add_argument("--dry", action="store_true",
+                   help="CPU validation: tiny geometry, random adapter")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from autostyle_tts_tpu.models import transformer as core
+    from autostyle_tts_tpu.pipeline.rag import EmbedderService
+    from autostyle_tts_tpu.utils.checkpoint import load_pytree
+    from autostyle_tts_tpu.utils.config import Config
+
+    art = Path(args.art)
+    tcfg = Config().train
+    if args.dry:
+        from autostyle_tts_tpu.utils.config import tiny_config
+
+        meta = {"seed": 42}
+        cfg = tiny_config().embedder
+        args.n = min(args.n, 24)
+    else:
+        meta = json.loads((art / "meta.json").read_text())
+        cfg = Config().embedder
+
+    turns = valid_turns()
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(turns))
+    db = [turns[i] for i in order[: args.n]]
+    queries = [turns[i] for i in order[args.n : 2 * args.n]]
+    p_db = {g: np.mean([x[1] == g for x in db]) for g in set(x[1] for x in db)}
+    p_q = {g: np.mean([x[1] == g for x in queries]) for g in p_db}
+    chance = float(sum(p_db[g] * p_q[g] for g in p_db))
+
+    params = core.init_params_quantized(
+        jax.random.PRNGKey(int(meta["seed"])), cfg, bits=8
+    )
+    lora0 = core.init_lora(jax.random.PRNGKey(0), cfg, tcfg.lora.r)
+    lora = lora0 if args.dry else jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        load_pytree(art / "adapter_f16.npz", lora0),
+    )
+
+    t0 = time.time()
+    base = run_side(
+        EmbedderService(cfg, params), db, queries, args.k
+    )
+    print(f"base: {base} ({time.time() - t0:.1f}s)", flush=True)
+    t0 = time.time()
+    tuned = run_side(
+        EmbedderService(
+            cfg, params, lora=lora, lora_scale=tcfg.lora.alpha / tcfg.lora.r
+        ),
+        db, queries, args.k,
+    )
+    print(f"tuned: {tuned} ({time.time() - t0:.1f}s)", flush=True)
+
+    out = {
+        "mechanism": "C12 emotion_only ablation (search_json_ab_text.py:"
+                     "406-420 contract) at llama32_3b geometry, real valid "
+                     "split, gold-label precision",
+        "n_db": len(db), "n_query": len(queries), "k": args.k,
+        "chance_prior_match": round(chance, 4),
+        "base": base,
+        "tuned": tuned,
+    }
+    dst = Path("/tmp/retrieval_delta_dry.json") if args.dry \
+        else art / "retrieval_delta.json"
+    dst.write_text(json.dumps(out, indent=2))
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
