@@ -70,6 +70,12 @@ def labels_for_language(language: str) -> List[str]:
 EMBED_MAX_TOKENS = 512       # RAG.py:129 truncation contract
 BIO_MAX_NEW = 250            # RAG.py:176-184
 EMOTION_MAX_NEW = 10         # RAG.py:219-227
+# Per-call KV-cache budget for generation. A caller-sized bucket at 3B
+# geometry can allocate a cache bigger than the remaining HBM (28 layers x
+# B32 x 1275 x 8 x 128 bf16 k+v = 4.7 GB — observed OOM next to the int8
+# base + LoRA on one 16 GB chip), so _generate chunks the batch to keep the
+# cache under this budget. Demo/tiny geometries are unaffected (cap >= 64).
+GEN_KV_BUDGET_BYTES = 1_250_000_000
 PLACEHOLDER_BIO = "This is a placeholder biography."  # search_json.py fallback
 
 
@@ -179,6 +185,22 @@ class EmbedderService:
         self, prompts: List[str], max_new: int, sampler: SamplerConfig,
         prompt_width: int = 1024,
     ) -> List[str]:
+        # chunk so the per-call KV cache stays under GEN_KV_BUDGET_BYTES
+        row_bytes = (
+            self.cfg.n_layers * (prompt_width + max_new + 1)
+            * self.cfg.n_kv_heads * self.cfg.head_dim * 2 * 2  # bf16, k+v
+        )
+        cap = 1
+        while cap < 64 and cap * 2 * row_bytes <= GEN_KV_BUDGET_BYTES:
+            cap *= 2
+        if len(prompts) > cap:
+            out: List[str] = []
+            for s0 in range(0, len(prompts), cap):
+                out.extend(self._generate(
+                    prompts[s0 : s0 + cap], max_new, sampler,
+                    prompt_width=prompt_width,
+                ))
+            return out
         B = len(prompts)
         Bp = self._batch_bucket(B)
         seqs = [self._encode(p, 10**9)[-prompt_width:] for p in prompts]

@@ -54,6 +54,21 @@ def test_biography_batched(embedder):
     assert all(isinstance(b, str) for b in bios)
 
 
+def test_generate_kv_budget_chunking(embedder, monkeypatch):
+    """A KV budget smaller than the batch forces _generate to chunk; greedy
+    decoding must be bit-identical to the single-call path (the 3B OOM fix:
+    a bucket-of-32 bio batch allocated a 4.7 GB cache next to the int8 base)."""
+    from autostyle_tts_tpu.pipeline import rag as rag_mod
+
+    texts = ["glad tidings", "terrible news", "fine", "angry words", "meh"]
+    whole = embedder.emotion_labels(texts)
+    row = (embedder.cfg.n_layers * (512 + rag_mod.EMOTION_MAX_NEW + 1)
+           * embedder.cfg.n_kv_heads * embedder.cfg.head_dim * 4)
+    monkeypatch.setattr(rag_mod, "GEN_KV_BUDGET_BYTES", 2 * row)
+    chunked = embedder.emotion_labels(texts)  # cap=2 -> 3 device calls
+    assert chunked == whole
+
+
 def _samples():
     return [
         StyleSample(speaker="w1", zh_text=f"utterance {i} about topic {i%3}", file_id=f"denoise_{i}.wav")
