@@ -70,11 +70,12 @@ def labels_for_language(language: str) -> List[str]:
 EMBED_MAX_TOKENS = 512       # RAG.py:129 truncation contract
 BIO_MAX_NEW = 250            # RAG.py:176-184
 EMOTION_MAX_NEW = 10         # RAG.py:219-227
-# Per-call KV-cache budget for generation. A caller-sized bucket at 3B
-# geometry can allocate a cache bigger than the remaining HBM (28 layers x
-# B32 x 1275 x 8 x 128 bf16 k+v = 4.7 GB — observed OOM next to the int8
-# base + LoRA on one 16 GB chip), so _generate chunks the batch to keep the
-# cache under this budget. Demo/tiny geometries are unaffected (cap >= 64).
+# Per-device-call activation/KV budget. Caller-sized batches at 3B geometry
+# can outgrow the HBM left next to the int8 base (+LoRA): a bucket-of-32 bio
+# batch allocates a 4.7 GB KV cache, a 256-row embed forward 1.3+ GB of
+# activation temps — both observed as compile-time OOMs on one 16 GB chip.
+# embed() and _generate() chunk their batches to stay under this budget;
+# demo/tiny geometries are unaffected (cap saturates).
 GEN_KV_BUDGET_BYTES = 1_250_000_000
 PLACEHOLDER_BIO = "This is a placeholder biography."  # search_json.py fallback
 
@@ -157,6 +158,17 @@ class EmbedderService:
     def embed(self, texts: List[str], width: int = EMBED_MAX_TOKENS) -> np.ndarray:
         """[B] texts -> [B, dim] f32 mean-pooled last-hidden embeddings
         (512-token truncation per the reference contract, RAG.py:129)."""
+        # chunk so forward-activation temps stay under the device budget
+        # (~8 live bf16 [B, T, D] copies through the layer stack)
+        row_bytes = width * self.cfg.dim * 2 * 8
+        cap = 1
+        while cap < 256 and cap * 2 * row_bytes <= GEN_KV_BUDGET_BYTES:
+            cap *= 2
+        if len(texts) > cap:
+            return np.concatenate([
+                self.embed(texts[s0 : s0 + cap], width=width)
+                for s0 in range(0, len(texts), cap)
+            ], axis=0)
         B = len(texts)
         Bp = self._batch_bucket(B)
         seqs = [self._encode(t, width) for t in texts]

@@ -69,6 +69,19 @@ def test_generate_kv_budget_chunking(embedder, monkeypatch):
     assert chunked == whole
 
 
+def test_embed_budget_chunking(embedder, monkeypatch):
+    """Same budget mechanism on the embed forward (the 256-row combined-
+    embedding call OOM'd at 3B): chunked == whole-batch embeddings."""
+    from autostyle_tts_tpu.pipeline import rag as rag_mod
+
+    texts = [f"sample text number {i}" for i in range(5)]
+    whole = embedder.embed(texts)
+    row = rag_mod.EMBED_MAX_TOKENS * embedder.cfg.dim * 2 * 8
+    monkeypatch.setattr(rag_mod, "GEN_KV_BUDGET_BYTES", 2 * row)
+    chunked = embedder.embed(texts)
+    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+
+
 def _samples():
     return [
         StyleSample(speaker="w1", zh_text=f"utterance {i} about topic {i%3}", file_id=f"denoise_{i}.wav")
