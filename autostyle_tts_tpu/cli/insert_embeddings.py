@@ -72,6 +72,7 @@ def build_embedder(args, cfg):
     return EmbedderService(
         ecfg, params, lora=lora, lora_scale=lora_scale, tokenizer=tokenizer,
         labels=labels_for_language(getattr(args, "language", "en")),
+        language=getattr(args, "language", "en"),
     )
 
 

@@ -91,6 +91,8 @@ class EmbedderService:
         lora_scale: float = 0.0,
         labels: Sequence[str] = tuple(EMOTION_LABELS_EN),
         tokenizer=None,
+        erc_chat="auto",
+        language: str = "en",
     ):
         """`tokenizer`: optional tokenizer. Three modes:
         - None: self-contained byte frontend (models/frontend.py)
@@ -99,12 +101,26 @@ class EmbedderService:
           reference's 512-BPE-token contract, RAG.py:129)
         - HF tokenizer: REQUIRED when `params` come from a real checkpoint
           (utils/hf_convert.py), whose embedding table is indexed by its own
-          BPE ids."""
+          BPE ids.
+
+        `erc_chat`: serve emotion labels through the ERC fine-tune's CHAT
+        format (train/reformat.py messages + render_chat role tokens) instead
+        of the plain EMOTION_PROMPT string. An adapter trained by
+        train/lora_sft.py never saw EMOTION_PROMPT — served through it, its
+        predictions degenerate to the base model's (measured: identical
+        retrieval precision to 4 decimals). "auto" = chat iff a LoRA adapter
+        is loaded and the byte frontend is active (render_chat is a byte-
+        plane format; BPE/HF-tokenized services keep the plain prompt)."""
         self.cfg = cfg
         self.params = params
         self.lora = lora
         self.lora_scale = lora_scale
         self.labels = list(labels)
+        self.language = language
+        self.erc_chat = (
+            (lora is not None and tokenizer is None)
+            if erc_chat == "auto" else bool(erc_chat)
+        )
         self.key = jax.random.PRNGKey(0)
         self._frontend_bpe = hasattr(tokenizer, "encode_segment")
         self.tokenizer = tokenizer
@@ -197,6 +213,13 @@ class EmbedderService:
         self, prompts: List[str], max_new: int, sampler: SamplerConfig,
         prompt_width: int = 1024,
     ) -> List[str]:
+        seqs = [self._encode(p, 10**9)[-prompt_width:] for p in prompts]
+        return self._generate_ids(seqs, max_new, sampler, prompt_width)
+
+    def _generate_ids(
+        self, seqs, max_new: int, sampler: SamplerConfig, prompt_width: int,
+        eos_id=None, decode_fn=None,
+    ) -> List[str]:
         # chunk so the per-call KV cache stays under GEN_KV_BUDGET_BYTES
         row_bytes = (
             self.cfg.n_layers * (prompt_width + max_new + 1)
@@ -205,30 +228,33 @@ class EmbedderService:
         cap = 1
         while cap < 64 and cap * 2 * row_bytes <= GEN_KV_BUDGET_BYTES:
             cap *= 2
-        if len(prompts) > cap:
+        if len(seqs) > cap:
             out: List[str] = []
-            for s0 in range(0, len(prompts), cap):
-                out.extend(self._generate(
-                    prompts[s0 : s0 + cap], max_new, sampler,
-                    prompt_width=prompt_width,
+            for s0 in range(0, len(seqs), cap):
+                out.extend(self._generate_ids(
+                    seqs[s0 : s0 + cap], max_new, sampler, prompt_width,
+                    eos_id=eos_id, decode_fn=decode_fn,
                 ))
             return out
-        B = len(prompts)
+        B = len(seqs)
         Bp = self._batch_bucket(B)
-        seqs = [self._encode(p, 10**9)[-prompt_width:] for p in prompts]
-        seqs += [seqs[-1]] * (Bp - B)  # pad rows reuse a real prompt
+        seqs = list(seqs) + [seqs[-1]] * (Bp - B)  # pad rows reuse a real prompt
         toks, lens = core.left_pad(seqs, pad_id=self.pad_id, width=prompt_width)
         cache = core.make_cache(self.cfg, Bp, prompt_width + max_new + 1)
         self.key, sub = jax.random.split(self.key)
         res = core.generate(
             self.params, self.cfg, jnp.asarray(toks), jnp.asarray(lens), cache,
             sub, max_new_tokens=max_new, sampler=sampler,
-            eos_id=self.eos_id, pad_id=self.pad_id,
+            eos_id=self.eos_id if eos_id is None else eos_id,
+            pad_id=self.pad_id,
             lora=self.lora, lora_scale=self.lora_scale,
         )
         out = []
         for row, n in zip(np.asarray(res.tokens)[:B], np.asarray(res.lengths)[:B]):
-            out.append(self._decode(row[: int(n)]).strip())
+            row = row[: int(n)]
+            out.append(
+                (decode_fn(row) if decode_fn else self._decode(row)).strip()
+            )
         return out
 
     def biography(self, conversation: str, speaker: str) -> str:
@@ -243,14 +269,42 @@ class EmbedderService:
     def emotion_label(self, text: str) -> str:
         return self.emotion_labels([text])[0]
 
-    def emotion_labels(self, texts: List[str]) -> List[str]:
-        prompts = [
-            EMOTION_PROMPT.format(labels=", ".join(self.labels), text=t)
-            for t in texts
-        ]
-        raw = self._generate(
-            prompts, EMOTION_MAX_NEW, SamplerConfig.label(), prompt_width=512
+    def _erc_chat_labels_raw(self, texts: List[str]) -> List[str]:
+        """Emotion labels through the fine-tune's own chat format: the same
+        reformat.py system/user messages and render_chat byte-plane template
+        the adapter trained on (serve == train distribution; mirrors the
+        reference loading its PEFT model for retrieval, milvus/RAG.py:96-101
+        after ft_llm.py's setup_chat_format training)."""
+        from ..train.lora_sft import END, decode_assistant, render_chat
+        from ..train.reformat import _PROMPTS
+
+        P = _PROMPTS[self.language]
+        seqs = []
+        for t in texts:
+            system = P["system"] + P["context"].format(ctx=f" A: {t}")
+            q = P["question_default"].format(name="A", sent=t)
+            ids, _ = render_chat(
+                [{"role": "system", "content": system},
+                 {"role": "user", "content": q}],
+                add_generation_prompt=True,
+            )
+            seqs.append(ids[-512:])
+        return self._generate_ids(
+            seqs, EMOTION_MAX_NEW, SamplerConfig.label(), 512,
+            eos_id=END, decode_fn=decode_assistant,
         )
+
+    def emotion_labels(self, texts: List[str]) -> List[str]:
+        if self.erc_chat:
+            raw = self._erc_chat_labels_raw(texts)
+        else:
+            prompts = [
+                EMOTION_PROMPT.format(labels=", ".join(self.labels), text=t)
+                for t in texts
+            ]
+            raw = self._generate(
+                prompts, EMOTION_MAX_NEW, SamplerConfig.label(), prompt_width=512
+            )
         out = []
         for r in raw:
             r = r.strip().lower()

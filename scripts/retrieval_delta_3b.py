@@ -159,9 +159,13 @@ def main() -> None:
         load_pytree(art / "adapter_f16.npz", lora0),
     )
 
+    # both sides serve through the ERC chat format (the adapter's training
+    # distribution) so the delta isolates the ADAPTER, not the prompt shape:
+    # served via the plain EMOTION_PROMPT instead, the tuned side measured
+    # IDENTICAL to base (every prediction fell back to 'neutral')
     t0 = time.time()
     base = run_side(
-        EmbedderService(cfg, params), db, queries, args.k
+        EmbedderService(cfg, params, erc_chat=True), db, queries, args.k
     )
     print(f"base: {base} ({time.time() - t0:.1f}s)", flush=True)
     t0 = time.time()
@@ -176,7 +180,9 @@ def main() -> None:
     out = {
         "mechanism": "C12 emotion_only ablation (search_json_ab_text.py:"
                      "406-420 contract) at llama32_3b geometry, real valid "
-                     "split, gold-label precision",
+                     "split, gold-label precision; BOTH sides labeled via "
+                     "the ERC chat serving format (adapter's training "
+                     "distribution) so only the adapter differs",
         "n_db": len(db), "n_query": len(queries), "k": args.k,
         "chance_prior_match": round(chance, 4),
         "base": base,

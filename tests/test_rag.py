@@ -69,6 +69,24 @@ def test_generate_kv_budget_chunking(embedder, monkeypatch):
     assert chunked == whole
 
 
+def test_erc_chat_serving_mode(embedder):
+    """Chat-format emotion labeling (the ERC fine-tune's training format)
+    yields valid labels; 'auto' turns it on exactly when an adapter rides a
+    byte-frontend service."""
+    from autostyle_tts_tpu.pipeline.rag import EmbedderService
+
+    chat = EmbedderService(embedder.cfg, embedder.params, erc_chat=True)
+    labels = chat.emotion_labels(["I am so glad!", "terrible news"])
+    assert len(labels) == 2
+    assert all(l in chat.labels or l == "neutral" for l in labels)
+
+    assert not embedder.erc_chat  # no adapter -> plain EMOTION_PROMPT
+    lora = core.init_lora(jax.random.PRNGKey(1), embedder.cfg, 4)
+    tuned = EmbedderService(embedder.cfg, embedder.params, lora=lora,
+                            lora_scale=1.0)
+    assert tuned.erc_chat
+
+
 def test_embed_budget_chunking(embedder, monkeypatch):
     """Same budget mechanism on the embed forward (the 256-row combined-
     embedding call OOM'd at 3B): chunked == whole-batch embeddings."""
