@@ -32,6 +32,11 @@ def main(argv=None) -> None:
     p.add_argument("--top_k", type=int, default=1)
     p.add_argument("--ablation", type=str, default=None,
                    choices=[None, "emotion_only", "bio_only"])
+    p.add_argument("--context_window", type=int, default=0,
+                   help="label each turn with ±N surrounding dialog turns "
+                        "as context (0 = reference-exact single-utterance "
+                        "labeling; >0 matches the ERC fine-tune's training "
+                        "distribution — use with --lora_checkpoint)")
     args = p.parse_args(argv)
 
     cfg = build_config(args)
@@ -46,6 +51,7 @@ def main(argv=None) -> None:
     rows = search_dialog(
         embedder, store, turns, top_k=args.top_k,
         file_prefix_path=args.file_prefix_path, ablation=args.ablation,
+        context_window=args.context_window,
     )
     write_jsonl(args.output_file, (r.to_dict() for r in rows))
     print(f"wrote {len(rows)} rows -> {args.output_file}")

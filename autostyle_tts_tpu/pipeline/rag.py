@@ -51,7 +51,7 @@ In overall of above conversation, what do you think about the characteristics of
 EMOTION_PROMPT = """\n=======
 Context: Given predefined emotional label set [{labels}], and below conversation:
 "
-{text}
+{conversation}
 "
 
 Question: What is the emotion of the speaker at the utterance "{text}"?
@@ -269,7 +269,9 @@ class EmbedderService:
     def emotion_label(self, text: str) -> str:
         return self.emotion_labels([text])[0]
 
-    def _erc_chat_labels_raw(self, texts: List[str]) -> List[str]:
+    def _erc_chat_labels_raw(
+        self, texts: List[str], contexts=None, names=None,
+    ) -> List[str]:
         """Emotion labels through the fine-tune's own chat format: the same
         reformat.py system/user messages and render_chat byte-plane template
         the adapter trained on (serve == train distribution; mirrors the
@@ -279,28 +281,44 @@ class EmbedderService:
         from ..train.reformat import _PROMPTS
 
         P = _PROMPTS[self.language]
+        width = 768 if contexts else 512  # eval protocol's max_prompt=768
         seqs = []
-        for t in texts:
-            system = P["system"] + P["context"].format(ctx=f" A: {t}")
-            q = P["question_default"].format(name="A", sent=t)
+        for i, t in enumerate(texts):
+            name = names[i] if names else "A"
+            ctx = (contexts[i] if contexts and contexts[i]
+                   else f" {name}: {t}")
+            system = P["system"] + P["context"].format(ctx=ctx)
+            q = P["question_default"].format(name=name, sent=t)
             ids, _ = render_chat(
                 [{"role": "system", "content": system},
                  {"role": "user", "content": q}],
                 add_generation_prompt=True,
             )
-            seqs.append(ids[-512:])
+            seqs.append(ids[-width:])
         return self._generate_ids(
-            seqs, EMOTION_MAX_NEW, SamplerConfig.label(), 512,
+            seqs, EMOTION_MAX_NEW, SamplerConfig.label(), width,
             eos_id=END, decode_fn=decode_assistant,
         )
 
-    def emotion_labels(self, texts: List[str]) -> List[str]:
+    def emotion_labels(
+        self, texts: List[str], contexts=None, names=None,
+    ) -> List[str]:
+        """Per-utterance emotion labels. `contexts`/`names`: optional
+        surrounding-dialog windows + speaker names per text — the training
+        distribution (reformat.py ±window context); dialog callers
+        (search_dialog with context_window>0) pass them so a fine-tuned
+        adapter sees serve-time prompts shaped like its training prompts."""
         if self.erc_chat:
-            raw = self._erc_chat_labels_raw(texts)
+            raw = self._erc_chat_labels_raw(texts, contexts, names)
         else:
             prompts = [
-                EMOTION_PROMPT.format(labels=", ".join(self.labels), text=t)
-                for t in texts
+                EMOTION_PROMPT.format(
+                    labels=", ".join(self.labels),
+                    conversation=(contexts[i] if contexts and contexts[i]
+                                  else t),
+                    text=t,
+                )
+                for i, t in enumerate(texts)
             ]
             raw = self._generate(
                 prompts, EMOTION_MAX_NEW, SamplerConfig.label(), prompt_width=512
@@ -433,12 +451,19 @@ def search_dialog(
     file_prefix_path: str = "",
     ablation: Optional[str] = None,    # None | "emotion_only" | "bio_only"
     batch: int = 16,
+    context_window: int = 0,
 ) -> List[RetrievalRow]:
     """The production query path (search_json.py:313-465): one biography per
     speaker, per-turn emotion label, combined query, top-k search, JSONL rows.
 
     Ablations zero one half of the query and L2-normalize, matching
     search_json_ab_text.py:406-420 / search_json_ab_bio.py:407-412.
+
+    `context_window`: label each turn with ±N surrounding turns as context
+    (the input IS an ordered dialog, search_json.py's contract). 0 =
+    reference-exact single-utterance labeling (search_json.py:391); >0
+    matches the ERC fine-tune's training distribution (reformat.py ±window)
+    — measured to carry the trained adapter's accuracy into retrieval.
     """
     speakers = sorted({t.speaker for t in turns})
     convs = conversations_by_speaker or {
@@ -448,10 +473,23 @@ def search_dialog(
     bio_texts = embedder.biographies([(convs[s], s) for s in speakers])
     bios = dict(zip(speakers, bio_texts))
 
+    ctxs_all = None
+    if context_window:
+        lines = [f" {t.speaker}: {t.zh_text}" for t in turns]
+        ctxs_all = [
+            "\n".join(lines[max(0, i - context_window)
+                            : i + context_window + 1])
+            for i in range(len(turns))
+        ]
+
     rows: List[RetrievalRow] = []
     for s0 in range(0, len(turns), batch):
         chunk = turns[s0 : s0 + batch]
-        emotions = embedder.emotion_labels([t.zh_text for t in chunk])
+        emotions = embedder.emotion_labels(
+            [t.zh_text for t in chunk],
+            contexts=ctxs_all[s0 : s0 + batch] if ctxs_all else None,
+            names=[t.speaker for t in chunk] if ctxs_all else None,
+        )
         biogs = [bios.get(t.speaker, PLACEHOLDER_BIO) for t in chunk]
         q = embedder.combined_embedding(emotions, biogs)
         half = q.shape[1] // 2

@@ -36,22 +36,39 @@ sys.path.insert(0, str(REPO))
 DATA = Path("/root/reference/data")
 
 
-def valid_turns():
-    """(text, gold_label, speaker) for every utterance in the valid split."""
+WINDOW = 5  # the fine-tune's ±context window (train_llm.sh:21)
+
+
+def valid_conversations():
+    """[(text, gold_label, speaker)] per conversation in the valid split,
+    in utterance order (the dialog structure production inputs carry)."""
     from autostyle_tts_tpu.train.reformat import EN_LABELS
 
     convs = json.loads((DATA / "iemocap.valid.json").read_text())
     out = []
     for conv_id, conv in convs.items():
         genders = conv.get("genders", [])
+        rows = []
         for i, (lab, text) in enumerate(zip(conv["labels"], conv["sentences"])):
             g = genders[i] if i < len(genders) else "X"
-            out.append((text, EN_LABELS[int(lab)], f"{conv_id}_{g}"))
+            rows.append((text, EN_LABELS[int(lab)], f"{conv_id}_{g}"))
+        out.append(rows)
     return out
 
 
-def run_side(emb, db, queries, k: int):
-    """Insert DB turns, query with the emotion-only ablation, score @k."""
+def window_contexts(conv):
+    """±WINDOW dialog context per turn, the training prompt shape
+    (reformat.context_window)."""
+    lines = [f" {s}: {t}" for t, _, s in conv]
+    return [
+        "\n".join(lines[max(0, i - WINDOW) : i + WINDOW + 1])
+        for i in range(len(conv))
+    ]
+
+
+def run_side(emb, db_convs, query_convs, k: int):
+    """Insert DB conversations, query with the emotion-only ablation through
+    the production dialog path (context_window=WINDOW), score @1/@k."""
     from autostyle_tts_tpu.pipeline.rag import (
         PLACEHOLDER_BIO, DialogTurn, search_dialog,
     )
@@ -59,52 +76,59 @@ def run_side(emb, db, queries, k: int):
 
     store = StyleStore(dim=2 * emb.cfg.dim, capacity=1024)
     golds_db = []
-    for s0 in range(0, len(db), 16):
-        chunk = db[s0 : s0 + 16]
-        emotions = emb.emotion_labels([t for t, _, _ in chunk])
+    for conv in db_convs:
+        emotions = emb.emotion_labels(
+            [t for t, _, _ in conv],
+            contexts=window_contexts(conv),
+            names=[s for _, _, s in conv],
+        )
         vecs = emb.combined_embedding(
-            emotions, [PLACEHOLDER_BIO] * len(chunk)
+            emotions, [PLACEHOLDER_BIO] * len(conv)
         )
         store.insert(
             vecs,
             [
-                {"file_id": str(s0 + i), "text": t, "emotion": e}
-                for i, ((t, _, _), e) in enumerate(zip(chunk, emotions))
+                {"file_id": str(len(golds_db) + i), "text": t, "emotion": e}
+                for i, ((t, _, _), e) in enumerate(zip(conv, emotions))
             ],
         )
-        golds_db.extend(g for _, g, _ in chunk)
+        golds_db.extend(g for _, g, _ in conv)
 
-    turns = [DialogTurn(zh_text=t, speaker=s) for t, _, s in queries]
-    rows = search_dialog(
-        emb, store, turns, top_k=k, ablation="emotion_only",
-    )
-    # search_dialog returns the TOP hit per turn; precision@k needs all k —
-    # re-run the search on the raw vectors it used is redundant; instead
-    # score precision@1 from rows and @k from a direct store query below.
-    p1 = float(np.mean([
-        golds_db[r.retrieved_index] == g
-        for r, (_, g, _) in zip(rows, queries)
-        if r.retrieved_index is not None
-    ]))
-
-    # @k through the same query construction (emotion-only, renormed)
-    emotions_q = []
-    for s0 in range(0, len(queries), 16):
-        emotions_q.extend(
-            emb.emotion_labels([t for t, _, _ in queries[s0 : s0 + 16]])
+    # precision@1 through the full production path, one dialog at a time
+    p1_hits, accs = [], []
+    pk_hits = []
+    for conv in query_convs:
+        turns = [DialogTurn(zh_text=t, speaker=s) for t, _, s in conv]
+        rows = search_dialog(
+            emb, store, turns, top_k=k, ablation="emotion_only",
+            context_window=WINDOW,
         )
-    qv = emb.combined_embedding(
-        emotions_q, [PLACEHOLDER_BIO] * len(queries)
-    )
-    half = qv.shape[1] // 2
-    qv[:, half:] = 0.0
-    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
-    hits = store.search(qv, k=k)
-    pk = float(np.mean([
-        np.mean([golds_db[h.index] == g for h in hl]) if hl else 0.0
-        for hl, (_, g, _) in zip(hits, queries)
-    ]))
-    acc = float(np.mean([e == g for e, (_, g, _) in zip(emotions_q, queries)]))
+        p1_hits.extend(
+            golds_db[r.retrieved_index] == g
+            for r, (_, g, _) in zip(rows, conv)
+            if r.retrieved_index is not None
+        )
+        # @k + label accuracy through the same windowed query construction
+        emotions_q = emb.emotion_labels(
+            [t for t, _, _ in conv],
+            contexts=window_contexts(conv),
+            names=[s for _, _, s in conv],
+        )
+        accs.extend(e == g for e, (_, g, _) in zip(emotions_q, conv))
+        qv = emb.combined_embedding(
+            emotions_q, [PLACEHOLDER_BIO] * len(conv)
+        )
+        half = qv.shape[1] // 2
+        qv[:, half:] = 0.0
+        qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+        hits = store.search(qv, k=k)
+        pk_hits.extend(
+            np.mean([golds_db[h.index] == g for h in hl]) if hl else 0.0
+            for hl, (_, g, _) in zip(hits, conv)
+        )
+    p1 = float(np.mean(p1_hits))
+    pk = float(np.mean(pk_hits))
+    acc = float(np.mean(accs))
     return {"precision_at_1": round(p1, 4), f"precision_at_{k}": round(pk, 4),
             "label_accuracy_serving_prompt": round(acc, 4)}
 
@@ -141,13 +165,23 @@ def main() -> None:
         meta = json.loads((art / "meta.json").read_text())
         cfg = Config().embedder
 
-    turns = valid_turns()
+    convs = valid_conversations()
     rng = np.random.default_rng(0)
-    order = rng.permutation(len(turns))
-    db = [turns[i] for i in order[: args.n]]
-    queries = [turns[i] for i in order[args.n : 2 * args.n]]
-    p_db = {g: np.mean([x[1] == g for x in db]) for g in set(x[1] for x in db)}
-    p_q = {g: np.mean([x[1] == g for x in queries]) for g in p_db}
+    order = rng.permutation(len(convs))
+    # disjoint CONVERSATIONS per side (dialog context stays intact), turns
+    # capped at args.n per side
+    db, queries, nd, nq = [], [], 0, 0
+    for idx in order:
+        conv = convs[idx]
+        if nd <= nq and nd < args.n:
+            db.append(conv[: args.n - nd]); nd += len(db[-1])
+        elif nq < args.n:
+            queries.append(conv[: args.n - nq]); nq += len(queries[-1])
+    db_flat = [x for c in db for x in c]
+    q_flat = [x for c in queries for x in c]
+    p_db = {g: np.mean([x[1] == g for x in db_flat])
+            for g in set(x[1] for x in db_flat)}
+    p_q = {g: np.mean([x[1] == g for x in q_flat]) for g in p_db}
     chance = float(sum(p_db[g] * p_q[g] for g in p_db))
 
     params = core.init_params_quantized(
@@ -180,10 +214,12 @@ def main() -> None:
     out = {
         "mechanism": "C12 emotion_only ablation (search_json_ab_text.py:"
                      "406-420 contract) at llama32_3b geometry, real valid "
-                     "split, gold-label precision; BOTH sides labeled via "
-                     "the ERC chat serving format (adapter's training "
+                     "split (disjoint conversations per side), gold-label "
+                     "precision; BOTH sides labeled via the ERC chat format "
+                     "with ±5-turn dialog context (search_dialog "
+                     "context_window=5 — the adapter's training "
                      "distribution) so only the adapter differs",
-        "n_db": len(db), "n_query": len(queries), "k": args.k,
+        "n_db": len(db_flat), "n_query": len(q_flat), "k": args.k,
         "chance_prior_match": round(chance, 4),
         "base": base,
         "tuned": tuned,
