@@ -1265,6 +1265,11 @@ def bench_sft(rtt_s: float, cfg=None, seq_len: int = 1024,
                     "seeded 160-row subset of the real valid split this "
                     "run; *_full_split = the training run's own numbers",
         }
+        if (art / "retrieval_delta.json").exists():
+            # scripts/retrieval_delta_3b.py — adapter's effect through the
+            # production C12 ablation (measured on-chip, folded verbatim)
+            out["f1_3b"]["retrieval_delta"] = json.loads(
+                (art / "retrieval_delta.json").read_text())
         del base3, lora3
     return out
 
