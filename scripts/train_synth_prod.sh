@@ -40,8 +40,12 @@ python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
   --stage tokenizer --out_dir "$WORK/ck_tok" --batch_size "${BS_TOK:-16}" \
   --epochs "${EP_TOK:-6}" --learning_rate 3e-4 --save_every 500
 
-# 2) merge the trained tokenizer so LM/CFM batches use phonetic tokens
-python -m autostyle_tts_tpu.cli.export_engine \
+# 2) merge the trained tokenizer so LM/CFM batches use phonetic tokens.
+# export_engine is pure param plumbing (npz -> npz) — run it on the CPU
+# backend: fetching ~1.3 GB through the TPU tunnel wedged the device once
+# (the known axon wedge, see bench.py _device_watchdog)
+CPU_ENV=(env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu)
+"${CPU_ENV[@]}" python -m autostyle_tts_tpu.cli.export_engine \
   --output "$WORK/engine_tok.npz" --stage_ckpt tokenizer="$WORK/ck_tok"
 
 # 3) token LM (~250M)
@@ -62,8 +66,8 @@ python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
   --stage vocoder_gan --out_dir "$WORK/ck_voc" --batch_size "${BS_VOC:-16}" \
   --epochs "${EP_VOC:-24}" --learning_rate 2e-4 --save_every 1000
 
-# 6) merged engine snapshot -> the bench-served artifact
-python -m autostyle_tts_tpu.cli.export_engine \
+# 6) merged engine snapshot -> the bench-served artifact (CPU: see step 2)
+"${CPU_ENV[@]}" python -m autostyle_tts_tpu.cli.export_engine \
   --output "$ART/engine_trained.npz" \
   --stage_ckpt tokenizer="$WORK/ck_tok" \
   --stage_ckpt token_lm="$WORK/ck_lm" \

@@ -1,0 +1,74 @@
+#!/usr/bin/env bash
+# Resume scripts/train_synth_prod.sh from stage 3 (token LM) onward — used
+# when an earlier run completed the tokenizer stage but the device wedged
+# mid-export. Stage checkpoints in $WORK/ck_* auto-resume via
+# CheckpointManager, so re-running a finished stage only costs its epochs;
+# this script skips straight to the unfinished ones.
+#
+#   bash scripts/train_synth_prod_resume.sh [WORKDIR] [FROM_STAGE]
+#   FROM_STAGE in lm|cfm|voc|export (default lm)
+set -euo pipefail
+WORK=${1:-/tmp/synth_prod}
+FROM=${2:-lm}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+cd "$REPO"
+CORPUS=$WORK/corpus
+ART=$REPO/artifacts/prod_engine
+mkdir -p "$ART"
+CPU_ENV=(env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu)
+COMMON=(--manifest "$CORPUS/train_manifest.json" --wav_dir "$CORPUS"
+        --prompt_seconds 1.5)
+
+[ -f "$WORK/engine_tok.npz" ] || "${CPU_ENV[@]}" python -m \
+  autostyle_tts_tpu.cli.export_engine \
+  --output "$WORK/engine_tok.npz" --stage_ckpt tokenizer="$WORK/ck_tok"
+
+case $FROM in lm) : ;; cfm) : ;; voc) : ;; export) : ;;
+  *) echo "bad FROM_STAGE $FROM"; exit 1 ;; esac
+
+if [ "$FROM" = lm ]; then
+  python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
+    --checkpoint "$WORK/engine_tok.npz" \
+    --stage token_lm --out_dir "$WORK/ck_lm" --batch_size "${BS_LM:-16}" \
+    --epochs "${EP_LM:-20}" --learning_rate "${LR_LM:-1.5e-4}" --save_every 1000
+  FROM=cfm
+fi
+if [ "$FROM" = cfm ]; then
+  python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
+    --checkpoint "$WORK/engine_tok.npz" \
+    --stage cfm --out_dir "$WORK/ck_cfm" --batch_size "${BS_CFM:-16}" \
+    --epochs "${EP_CFM:-20}" --learning_rate "${LR_CFM:-2e-4}" --save_every 1000
+  FROM=voc
+fi
+if [ "$FROM" = voc ]; then
+  python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
+    --checkpoint "$WORK/engine_tok.npz" \
+    --stage vocoder_gan --out_dir "$WORK/ck_voc" --batch_size "${BS_VOC:-16}" \
+    --epochs "${EP_VOC:-24}" --learning_rate 2e-4 --save_every 1000
+fi
+
+"${CPU_ENV[@]}" python -m autostyle_tts_tpu.cli.export_engine \
+  --output "$ART/engine_trained.npz" \
+  --stage_ckpt tokenizer="$WORK/ck_tok" \
+  --stage_ckpt token_lm="$WORK/ck_lm" \
+  --stage_ckpt cfm="$WORK/ck_cfm" \
+  --stage_ckpt vocoder="$WORK/ck_voc"
+
+python - "$ART" "$CORPUS" <<'EOF'
+import json, shutil, sys
+from pathlib import Path
+art, corpus = Path(sys.argv[1]), Path(sys.argv[2])
+rows = json.load(open(corpus / "manifest.json"))
+sample = rows[-16:]                      # tail = held out by convention
+out = art / "corpus_sample"
+for r in sample:
+    for key in ("wav", "phn"):
+        dst = out / r[key]
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(corpus / r[key], dst)
+json.dump(sample, open(out / "manifest.json", "w"))
+print("sample ->", out)
+EOF
+
+python scripts/eval_prod_quality.py
+echo "DONE: $ART/engine_trained.npz"
