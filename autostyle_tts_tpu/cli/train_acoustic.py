@@ -38,9 +38,32 @@ def main(argv=None) -> None:
     p.add_argument("--prompt_seconds", type=float, default=3.0)
     p.add_argument("--save_every", type=int, default=200)
     p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--stall_min", type=float, default=20.0,
+                   help="abort (exit 17) when no step completes for this "
+                        "many minutes — the tunneled device can wedge "
+                        "silently mid-RPC; checkpoints make the rerun a "
+                        "resume (scripts/train_synth_prod_resume.sh)")
     args = p.parse_args(argv)
 
     import jax
+
+    # liveness: stamped after every optimizer step by all stage loops below
+    import os
+    import threading
+    import time as _time
+
+    beat = {"t": _time.time(), "step": 0}
+
+    def _watchdog():
+        while True:
+            _time.sleep(60)
+            stale = _time.time() - beat["t"]
+            if stale > args.stall_min * 60:
+                print(f"[watchdog] no step for {stale / 60:.1f} min "
+                      f"(last {beat}) — device wedged, aborting", flush=True)
+                os._exit(17)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     engine = build_engine(args)
     cfg = engine.cfg
@@ -53,6 +76,12 @@ def main(argv=None) -> None:
         total_steps=max(1, args.epochs * len(items) // args.batch_size),
     )
     mgr = CheckpointManager(args.out_dir, save_total_limit=2)
+
+    def start_epoch(step: int) -> int:
+        # resume skips fully-completed epochs (a watchdog-retried stage
+        # would otherwise re-run its whole epoch budget on top)
+        return min(args.epochs, step // max(1, len(items) // args.batch_size))
+
 
     if args.stage == "tokenizer":
         from ..train.synthcorpus import N_PHONEME_CLASSES
@@ -80,7 +109,7 @@ def main(argv=None) -> None:
         if step:
             params = mgr.restore(params)
         key = jax.random.PRNGKey(args.seed)
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch(step), args.epochs):
             for batch in make_acoustic_batches(
                 engine, items, args.batch_size, args.prompt_seconds,
                 seed=args.seed + epoch, stages=("tokenizer",), cache=feat_cache,
@@ -90,6 +119,7 @@ def main(argv=None) -> None:
                     params, opt_state, usage, batch["tokenizer"], sub
                 )
                 step += 1
+                beat["t"], beat["step"] = _time.time(), step
                 if step % args.log_every == 0:
                     print(f"step {step}: loss={float(loss):.4f} "
                           f"phn_ce={float(ce):.4f} phn_acc={float(acc):.3f} "
@@ -117,7 +147,7 @@ def main(argv=None) -> None:
         step = mgr.latest_step() or 0
         if step:
             head = mgr.restore(head)
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch(step), args.epochs):
             for batch in make_acoustic_batches(
                 engine, items, args.batch_size, args.prompt_seconds,
                 seed=args.seed + epoch, stages=("tokenizer",),
@@ -128,6 +158,7 @@ def main(argv=None) -> None:
                     batch["tokenizer"],
                 )
                 step += 1
+                beat["t"], beat["step"] = _time.time(), step
                 if step % args.log_every == 0:
                     print(f"step {step}: phn_ce={float(ce):.4f} "
                           f"phn_acc={float(acc):.3f}")
@@ -166,7 +197,7 @@ def main(argv=None) -> None:
         if step:
             g_params = mgr.restore(g_params)
         key = jax.random.PRNGKey(args.seed)
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch(step), args.epochs):
             for batch in make_acoustic_batches(
                 engine, items, args.batch_size, args.prompt_seconds,
                 seed=args.seed + epoch, stages=("vocoder",), cache=feat_cache,
@@ -179,6 +210,7 @@ def main(argv=None) -> None:
                     g_params, g_st, d_params, batch["vocoder"], k2
                 )
                 step += 1
+                beat["t"], beat["step"] = _time.time(), step
                 if step % args.log_every == 0:
                     print(f"step {step}: g={float(g_loss):.4f} d={float(d_loss):.4f}")
                 if step % args.save_every == 0:
@@ -192,7 +224,7 @@ def main(argv=None) -> None:
     if step:
         params = mgr.restore(params)
     key = jax.random.PRNGKey(args.seed)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch(step), args.epochs):
         for batch in make_acoustic_batches(
             engine, items, args.batch_size, args.prompt_seconds,
             seed=args.seed + epoch, stages=(batch_key,), cache=feat_cache,
@@ -200,6 +232,7 @@ def main(argv=None) -> None:
             key, sub = jax.random.split(key)
             params, opt_state, loss = step_fn(params, opt_state, batch[batch_key], sub)
             step += 1
+            beat["t"], beat["step"] = _time.time(), step
             if step % args.log_every == 0:
                 print(f"step {step}: loss={float(loss):.4f}")
             if step % args.save_every == 0:

@@ -19,6 +19,20 @@ CPU_ENV=(env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu)
 COMMON=(--manifest "$CORPUS/train_manifest.json" --wav_dir "$CORPUS"
         --prompt_seconds 1.5)
 
+# train_acoustic exits 17 when its stall watchdog sees a wedged device;
+# checkpoints make a rerun a resume, so retry (with a pause for the device)
+run_stage() {
+  local i rc
+  for i in 1 2 3 4; do
+    "$@" && return 0
+    rc=$?
+    [ "$rc" -ne 17 ] && return "$rc"
+    echo "[resume] stage watchdog-aborted (attempt $i) — waiting 3 min"
+    sleep 180
+  done
+  return 1
+}
+
 [ -f "$WORK/engine_tok.npz" ] || "${CPU_ENV[@]}" python -m \
   autostyle_tts_tpu.cli.export_engine \
   --output "$WORK/engine_tok.npz" --stage_ckpt tokenizer="$WORK/ck_tok"
@@ -27,21 +41,21 @@ case $FROM in lm) : ;; cfm) : ;; voc) : ;; export) : ;;
   *) echo "bad FROM_STAGE $FROM"; exit 1 ;; esac
 
 if [ "$FROM" = lm ]; then
-  python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
+  run_stage python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
     --checkpoint "$WORK/engine_tok.npz" \
     --stage token_lm --out_dir "$WORK/ck_lm" --batch_size "${BS_LM:-16}" \
     --epochs "${EP_LM:-20}" --learning_rate "${LR_LM:-1.5e-4}" --save_every 1000
   FROM=cfm
 fi
 if [ "$FROM" = cfm ]; then
-  python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
+  run_stage python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
     --checkpoint "$WORK/engine_tok.npz" \
     --stage cfm --out_dir "$WORK/ck_cfm" --batch_size "${BS_CFM:-16}" \
     --epochs "${EP_CFM:-20}" --learning_rate "${LR_CFM:-2e-4}" --save_every 1000
   FROM=voc
 fi
 if [ "$FROM" = voc ]; then
-  python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
+  run_stage python -m autostyle_tts_tpu.cli.train_acoustic "${COMMON[@]}" \
     --checkpoint "$WORK/engine_tok.npz" \
     --stage vocoder_gan --out_dir "$WORK/ck_voc" --batch_size "${BS_VOC:-16}" \
     --epochs "${EP_VOC:-24}" --learning_rate 2e-4 --save_every 1000
