@@ -37,6 +37,16 @@ run_stage() {
   autostyle_tts_tpu.cli.export_engine \
   --output "$WORK/engine_tok.npz" --stage_ckpt tokenizer="$WORK/ck_tok"
 
+# wait out a wedged device before burning a stage attempt on it
+until timeout 90 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((128, 128)); np.asarray(x @ x)
+print('device ok')
+"; do
+  echo "[resume] device wedged — probe again in 2 min"
+  sleep 120
+done
+
 case $FROM in lm) : ;; cfm) : ;; voc) : ;; export) : ;;
   *) echo "bad FROM_STAGE $FROM"; exit 1 ;; esac
 
