@@ -43,6 +43,10 @@ def main(argv=None) -> None:
                         "many minutes — the tunneled device can wedge "
                         "silently mid-RPC; checkpoints make the rerun a "
                         "resume (scripts/train_synth_prod_resume.sh)")
+    p.add_argument("--cache_items", type=int, default=40000,
+                   help="feature-cache capacity in items (host RAM bound; "
+                        "a corpus larger than this refeaturizes the "
+                        "overflow every epoch)")
     args = p.parse_args(argv)
 
     import jax
@@ -113,6 +117,7 @@ def main(argv=None) -> None:
             for batch in make_acoustic_batches(
                 engine, items, args.batch_size, args.prompt_seconds,
                 seed=args.seed + epoch, stages=("tokenizer",), cache=feat_cache,
+                cache_max_items=args.cache_items,
             ):
                 key, sub = jax.random.split(key)
                 params, opt_state, usage, loss, ce, acc, n_used = step_fn(
@@ -151,7 +156,7 @@ def main(argv=None) -> None:
             for batch in make_acoustic_batches(
                 engine, items, args.batch_size, args.prompt_seconds,
                 seed=args.seed + epoch, stages=("tokenizer",),
-                cache=feat_cache,
+                cache=feat_cache, cache_max_items=args.cache_items,
             ):
                 head, opt_state, ce, acc = step_fn(
                     engine.params.speech_tokenizer, head, opt_state,
@@ -201,6 +206,7 @@ def main(argv=None) -> None:
             for batch in make_acoustic_batches(
                 engine, items, args.batch_size, args.prompt_seconds,
                 seed=args.seed + epoch, stages=("vocoder",), cache=feat_cache,
+                cache_max_items=args.cache_items,
             ):
                 key, k1, k2 = jax.random.split(key, 3)
                 d_params, d_st, d_loss = disc_step(
@@ -228,6 +234,7 @@ def main(argv=None) -> None:
         for batch in make_acoustic_batches(
             engine, items, args.batch_size, args.prompt_seconds,
             seed=args.seed + epoch, stages=(batch_key,), cache=feat_cache,
+            cache_max_items=args.cache_items,
         ):
             key, sub = jax.random.split(key)
             params, opt_state, loss = step_fn(params, opt_state, batch[batch_key], sub)
