@@ -40,11 +40,27 @@ PYEOF
 # frozen tokenizer from the first prod run
 [ -f "$WORK/engine_tok.npz" ] || cp "$TOKWORK/engine_tok.npz" "$WORK/engine_tok.npz"
 
+# wait out a wedged device before burning a stage attempt on it — the
+# tunneled device wedges silently between stages too (observed mid-run:
+# the LM stage finished, then the CFM attempt hung in featurization until
+# its 20-min watchdog fired), so probe before EVERY attempt, not just once
+wait_device() {
+  until timeout 90 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((128, 128)); np.asarray(x @ x)
+print('device ok')
+"; do
+    echo "[prod2] device wedged — probe again in 2 min"
+    sleep 120
+  done
+}
+
 # train_acoustic exits 17 when its stall watchdog sees a wedged device;
 # checkpoints make a rerun a resume, so retry (with a pause for the device)
 run_stage() {
   local i rc
   for i in 1 2 3 4; do
+    wait_device
     "$@" && return 0
     rc=$?
     [ "$rc" -ne 17 ] && return "$rc"
@@ -53,16 +69,6 @@ run_stage() {
   done
   return 1
 }
-
-# wait out a wedged device before burning a stage attempt on it
-until timeout 90 python -c "
-import jax, jax.numpy as jnp, numpy as np
-x = jnp.ones((128, 128)); np.asarray(x @ x)
-print('device ok')
-"; do
-  echo "[prod2] device wedged — probe again in 2 min"
-  sleep 120
-done
 
 case $FROM in lm) : ;; cfm) : ;; voc) : ;; export) : ;;
   *) echo "bad FROM_STAGE $FROM"; exit 1 ;; esac
