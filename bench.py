@@ -42,6 +42,12 @@ import numpy as np
 
 _T0 = time.time()
 
+# Global wall budget: a section that would START after this many seconds is
+# skipped (with a note in its slot) so the final stdout JSON line always
+# prints even when the tunneled device drags every dispatch. The expected
+# full run is ~28-30 min; 40 min only triggers under pathological slowness.
+_BUDGET_S = float(os.environ.get("ASTTTS_BENCH_BUDGET_S", "2400"))
+
 
 def _mark(section: str) -> None:
     """Section progress to stderr (the driver reads only the stdout JSON)."""
@@ -1506,8 +1512,15 @@ def main() -> None:
 
     def _section(name, fn):
         """Extras must not kill the headline: a failed section reports its
-        error string instead of crashing the whole bench."""
+        error string instead of crashing the whole bench, and a section that
+        would start past the wall budget is skipped so the final JSON line
+        is guaranteed to print."""
         _mark(name)
+        elapsed = time.time() - _T0
+        if elapsed > _BUDGET_S:
+            return {"skipped": f"wall budget: section would start at "
+                               f"{elapsed:.0f}s > {_BUDGET_S:.0f}s "
+                               f"(ASTTTS_BENCH_BUDGET_S)"}
         try:
             return fn()
         except Exception as e:          # pragma: no cover - defensive
