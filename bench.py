@@ -45,8 +45,10 @@ _T0 = time.time()
 # Global wall budget: a section that would START after this many seconds is
 # skipped (with a note in its slot) so the final stdout JSON line always
 # prints even when the tunneled device drags every dispatch. The expected
-# full run is ~28-30 min; 40 min only triggers under pathological slowness.
-_BUDGET_S = float(os.environ.get("ASTTTS_BENCH_BUDGET_S", "2400"))
+# full run is ~28-30 min but tunnel speed swings ~1.5x day to day and the
+# round-5 tail sections (f1_3b / 7B / ZH) are the round's key evidence, so
+# the default only triggers under pathological slowness, not a slow tunnel.
+_BUDGET_S = float(os.environ.get("ASTTTS_BENCH_BUDGET_S", "3300"))
 
 
 def _mark(section: str) -> None:
