@@ -1282,49 +1282,52 @@ def bench_sft(rtt_s: float, cfg=None, seq_len: int = 1024,
     return out
 
 
-def _device_watchdog(timeout_s: int = 900) -> None:
-    """The tunneled device can WEDGE (every op hangs indefinitely — observed
-    for hours at a time; no client-side recovery). Probe it with a bounded
-    wait in a side thread so a wedged device yields a diagnostic JSON line
-    instead of hanging the whole bench run. 15 min is far beyond any healthy
-    first-compile (~100 s worst observed), so a healthy chip never trips."""
-    import threading
+def _device_watchdog(timeout_s: int = 900, attempt_s: int = 150) -> None:
+    """The tunneled device can WEDGE (every op hangs indefinitely; wedges
+    CLEAR after some minutes, but an op dispatched during one never
+    completes — the training drivers learned that only a FRESH process
+    recovers, scripts/train_synth_prod2.sh wait_device). So probe in
+    bounded SUBPROCESS attempts, retrying until the patience window runs
+    out: a wedge that clears mid-window costs a few attempts, not the
+    round's artifact. The parent has not touched the backend yet (jax
+    backend init is lazy), so a wedged attempt leaves it clean. A healthy
+    chip passes attempt 1 (~100 s worst observed first-compile)."""
+    import subprocess
 
-    done = threading.Event()
-    state = {}
-
-    def probe():
+    t0 = time.time()
+    attempt = 0
+    last = ""
+    while time.time() - t0 < timeout_s:
+        attempt += 1
         try:
-            import jax
-            import jax.numpy as jnp
-
-            x = jnp.ones((128, 128))
-            np.asarray((x @ x).sum())
-            state["ok"] = True
-        except Exception as e:   # a FAST failure is not a wedge — report it
-            state["error"] = f"{type(e).__name__}: {e}"[:300]
-        finally:
-            done.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    done.wait(timeout_s)
-    if state.get("ok"):
-        return
-    if "error" in state:
-        # a FAST failure is not a wedge: surface the real exception loudly
-        # instead of masking it behind a fabricated metric
-        print(f"[bench] device probe failed: {state['error']}",
-              file=sys.stderr, flush=True)
-        os._exit(1)
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp, numpy as np;"
+                 "x = jnp.ones((128, 128));"
+                 "np.asarray((x @ x).sum()); print('ok')"],
+                capture_output=True, text=True, timeout=attempt_s,
+            )
+            if r.returncode == 0 and "ok" in r.stdout:
+                return
+            # a FAST failure is not a wedge: surface the real exception
+            # loudly instead of masking it behind a fabricated metric
+            last = (r.stderr or r.stdout)[-300:]
+            print(f"[bench] device probe failed (attempt {attempt}): {last}",
+                  file=sys.stderr, flush=True)
+            os._exit(1)
+        except subprocess.TimeoutExpired:
+            last = f"probe attempt {attempt} hung >{attempt_s}s"
+            print(f"[bench] {last} — wedged tunnel, retrying",
+                  file=sys.stderr, flush=True)
+            time.sleep(30)
     print(json.dumps({
         "metric": "tts_with_st_e2e_p50_latency",
         "value": -1.0,
         "unit": "s/utt",
         "vs_baseline": 0.0,
-        "extra": {"error": f"device unresponsive: first 128x128 matmul did "
-                           f"not complete within {timeout_s}s "
-                           f"(wedged tunnel)"},
+        "extra": {"error": f"device unresponsive for {timeout_s}s across "
+                           f"{attempt} fresh-process probes (wedged tunnel); "
+                           f"last: {last}"},
     }))
     sys.stdout.flush()
     os._exit(0)
