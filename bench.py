@@ -1282,7 +1282,7 @@ def bench_sft(rtt_s: float, cfg=None, seq_len: int = 1024,
     return out
 
 
-def _device_watchdog(timeout_s: int = 900, attempt_s: int = 150) -> None:
+def _device_watchdog(timeout_s: int = 1500, attempt_s: int = 150) -> None:
     """The tunneled device can WEDGE (every op hangs indefinitely; wedges
     CLEAR after some minutes, but an op dispatched during one never
     completes — the training drivers learned that only a FRESH process
@@ -1291,7 +1291,9 @@ def _device_watchdog(timeout_s: int = 900, attempt_s: int = 150) -> None:
     out: a wedge that clears mid-window costs a few attempts, not the
     round's artifact. The parent has not touched the backend yet (jax
     backend init is lazy), so a wedged attempt leaves it clean. A healthy
-    chip passes attempt 1 (~100 s worst observed first-compile)."""
+    chip passes attempt 1 (~100 s worst observed first-compile); observed
+    wedges have cleared on the tens-of-minutes scale, hence the 25-min
+    default patience."""
     import subprocess
 
     t0 = time.time()
